@@ -271,6 +271,11 @@ class Tables:
                     sym_act[i, a] = (3 + sym_dir[i, d] * P + p) * n * n + tsq
         self.sym_action = sym_act  # sym_action[i, a] = T_i(a)
 
+        # Inverse permutations: x_transformed = x[sym_*_inv[i]] applies T_i
+        # to an array indexed by square/action (scatter expressed as gather).
+        self.sym_square_inv = np.argsort(sym_sq, axis=1).astype(np.int32)
+        self.sym_action_inv = np.argsort(sym_act, axis=1).astype(np.int32)
+
     # --- host-side move <-> action id -------------------------------------
     def move_to_action(self, m: Move) -> int:
         n = self.n

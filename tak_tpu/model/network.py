@@ -1,0 +1,197 @@
+"""Network wrapper: on-device inference + reference-parity training step.
+
+Replaces the reference's `Network` trait (alpha-tak/src/model/network.rs):
+
+  * `policy_eval`   — batched planes -> (softmax policy [B, A], tanh value)
+                      (forward_mcts, network.rs:32 / net6.rs:98-108).  Like
+                      the reference, the softmax is over the FULL action
+                      space (illegal logits included); search only reads
+                      legal entries.
+  * `train(...)`    — Adam(lr=1e-4) with classic L2 weight decay 1e-4
+                      (network.rs:14-15,40-45), shuffled 500-example chunks,
+                      optimizer step every 20 chunks => effective batch
+                      10,000 examples (network.rs:17-21,92-96); each chunk
+                      is expanded 8x by D4 symmetry on device
+                      (example.rs:62-78); loss = -sum(pi * log_softmax)/B
+                      + sum((z - v)^2)/B (network.rs:84-87).
+
+The optimizer is rebuilt per `train` call, as upstream does.  Checkpoints
+are flax-serialized msgpack of {params, batch_stats} (VarStore::save/load
+equivalent, network.rs:29-30).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import cached_property, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..engine.core import Engine
+from ..engine.observe import observe
+from .resnet import NetConfig, TakResNet, dummy_input
+
+LEARNING_RATE = 1e-4
+WEIGHT_DECAY = 1e-4
+CHUNK_SIZE = 500
+CHUNKS_IN_STEP = 20
+
+
+class Network:
+    def __init__(self, engine: Engine, config: NetConfig | None = None):
+        self.engine = engine
+        self.config = config or NetConfig.for_size(engine.n)
+        self.model = TakResNet(self.config)
+
+    # -- init / io -----------------------------------------------------------
+
+    def init_variables(self, seed: int = 0):
+        variables = self.model.init(
+            jax.random.PRNGKey(seed), dummy_input(self.config), train=False
+        )
+        return variables  # {'params': ..., 'batch_stats': ...}
+
+    def save(self, variables, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(variables)))
+        os.replace(tmp, path)
+
+    def load(self, path: str):
+        template = self.init_variables(0)
+        with open(path, "rb") as f:
+            return serialization.from_bytes(template, f.read())
+
+    # -- inference -----------------------------------------------------------
+
+    @cached_property
+    def _policy_eval(self):
+        @jax.jit
+        def run(variables, planes):
+            logits, value = self.model.apply(variables, planes, train=False)
+            return jax.nn.softmax(logits, axis=-1), value
+
+        return run
+
+    def policy_eval(self, variables, planes):
+        """planes [B, n, n, C] -> (policy [B, A] softmax, value [B])."""
+        return self._policy_eval(variables, planes)
+
+    @cached_property
+    def observe_batch(self):
+        return jax.jit(jax.vmap(partial(observe, self.engine)))
+
+    def policy_eval_states(self, variables, states):
+        return self.policy_eval(variables, self.observe_batch(states))
+
+    # -- training ------------------------------------------------------------
+
+    def make_optimizer(self):
+        # classic Adam-with-L2: decay added to grads *before* Adam scaling,
+        # matching tch's Adam { wd } (network.rs:40-45)
+        return optax.chain(
+            optax.add_decayed_weights(WEIGHT_DECAY),
+            optax.adam(LEARNING_RATE),
+        )
+
+    def _symmetry_expand(self, planes, pi, z):
+        """[B,...] -> [8B,...] via the D4 group, on device (example.rs:62)."""
+        n = self.engine.n
+        sq_inv = jnp.asarray(self.engine.tables.sym_square_inv)   # [8, n*n]
+        act_inv = jnp.asarray(self.engine.tables.sym_action_inv)  # [8, A]
+        B = planes.shape[0]
+        flat = planes.reshape(B, n * n, -1)
+
+        def one_sym(sq_i, act_i):
+            return flat[:, sq_i].reshape(planes.shape), pi[:, act_i]
+
+        planes8, pi8 = jax.vmap(one_sym)(sq_inv, act_inv)  # [8, B, ...]
+        return (
+            planes8.reshape((8 * B,) + planes.shape[1:]),
+            pi8.reshape(8 * B, -1),
+            jnp.tile(z, 8),
+        )
+
+    def _loss(self, params, batch_stats, planes, pi, z):
+        logits, value, new_model_state = self._apply_train(
+            params, batch_stats, planes
+        )
+        B = logits.shape[0]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        loss_p = -jnp.sum(pi * logp) / B
+        loss_z = jnp.sum(jnp.square(z - value)) / B
+        return loss_p + loss_z, (new_model_state, loss_p, loss_z)
+
+    def _apply_train(self, params, batch_stats, planes):
+        out, new_state = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            planes,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        logits, value = out
+        return logits, value, new_state["batch_stats"]
+
+    @cached_property
+    def _accum_chunk(self):
+        @jax.jit
+        def run(params, batch_stats, grad_acc, planes, pi, z):
+            planes, pi, z = self._symmetry_expand(planes, pi, z)
+            (loss, (new_bs, lp, lz)), grads = jax.value_and_grad(
+                self._loss, has_aux=True
+            )(params, batch_stats, planes, pi, z)
+            grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+            return grad_acc, new_bs, lp, lz
+
+        return run
+
+    @cached_property
+    def optimizer(self):
+        return self.make_optimizer()
+
+    @cached_property
+    def _apply_update(self):
+        opt = self.optimizer
+
+        @jax.jit
+        def run(params, opt_state, grad_acc):
+            updates, opt_state = opt.update(grad_acc, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            zero = jax.tree.map(jnp.zeros_like, grad_acc)
+            return params, opt_state, zero
+
+        return run
+
+    def train(self, variables, examples, *, rng=None, log=print):
+        """One training pass over `examples` (list of Example), ref parity.
+
+        Returns updated variables.  `examples` must expose `.planes`
+        (np [n,n,C]), `.policy` (np [A] normalized), `.result` (float).
+        """
+        rng = rng or np.random.default_rng()
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        opt_state = self.optimizer.init(params)  # fresh Adam state per call
+        grad_acc = jax.tree.map(jnp.zeros_like, params)
+
+        order = rng.permutation(len(examples))
+        n_chunks = len(examples) // CHUNK_SIZE
+        for i in range(n_chunks):
+            idx = order[i * CHUNK_SIZE : (i + 1) * CHUNK_SIZE]
+            planes = jnp.asarray(
+                np.stack([examples[j].planes for j in idx]), jnp.float32
+            )
+            pi = jnp.asarray(np.stack([examples[j].policy for j in idx]))
+            z = jnp.asarray(np.array([examples[j].result for j in idx], np.float32))
+            grad_acc, batch_stats, lp, lz = self._accum_chunk(
+                params, batch_stats, grad_acc, planes, pi, z
+            )
+            if (i + 1) % CHUNKS_IN_STEP == 0:
+                log(f"chunk {i + 1}/{n_chunks} p={float(lp):.4f} z={float(lz):.4f} step")
+                params, opt_state, grad_acc = self._apply_update(
+                    params, opt_state, grad_acc
+                )
+        return {"params": params, "batch_stats": batch_stats}
