@@ -1,0 +1,104 @@
+"""Trainer CLI — capability mirror of the reference `train` binary.
+
+    python -m tak_tpu.cli.train [model_path] [examples ...] \
+        [--folder DIR] [--size 6] [--cpu] ...
+
+`model_path` of "random" (or omitted) starts from fresh weights
+(train/src/cli.rs:4-16, main.rs:45-53).  Scale knobs (--games,
+--rollouts, --workers, --generations) default to the reference's
+compile-time constants and exist because this framework targets everything
+from laptops (CPU smoke runs) to pod slices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tak-train", description=__doc__)
+    p.add_argument("model_path", nargs="?", default=None,
+                   help='path to model, or "random"/omitted for fresh weights')
+    p.add_argument("examples", nargs="*", default=[],
+                   help="paths to example .data files to preload")
+    p.add_argument("-f", "--folder", default=None,
+                   help="folder of example files to preload")
+    p.add_argument("--size", type=int, default=6, help="board size (default 6)")
+    p.add_argument("--komi", type=int, default=2)
+    p.add_argument("--games", type=int, default=1000, help="self-play games/gen")
+    p.add_argument("--workers", type=int, default=32, help="lockstep games")
+    p.add_argument("--rollouts", type=int, default=10_000, help="sims per move")
+    p.add_argument("--wave", type=int, default=8, help="descents per NN batch")
+    p.add_argument("--pit-games", type=int, default=128)
+    p.add_argument("--pit-rollouts", type=int, default=800)
+    p.add_argument("--generations", type=int, default=None,
+                   help="stop after N generations (default: run forever)")
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--filters", type=int, default=128)
+    p.add_argument("--blocks", type=int, default=None,
+                   help="res blocks (default: 16 for 6x6+, else 8)")
+    p.add_argument("--cpu", action="store_true", help="force CPU JAX")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..engine.core import get_engine
+    from ..examples import ReplayBuffer
+    from ..mcts.search import SearchConfig
+    from ..model.network import Network
+    from ..model.resnet import NetConfig
+    from ..pit import PitConfig
+    from ..selfplay import SelfPlayConfig
+    from ..train_loop import TrainLoopConfig, training_loop
+
+    engine = get_engine(args.size)
+    blocks = args.blocks or (16 if args.size >= 6 else 8)
+    network = Network(engine, NetConfig(n=args.size, filters=args.filters,
+                                        blocks=blocks))
+
+    if args.model_path and args.model_path != "random":
+        variables = network.load(args.model_path)
+        print(f"loaded model {args.model_path}")
+    else:
+        variables = network.init_variables(args.seed)
+        print("starting from random weights")
+
+    buffer = ReplayBuffer()
+    paths = list(args.examples)
+    if args.folder:
+        paths += sorted(
+            os.path.join(args.folder, f) for f in os.listdir(args.folder)
+            if os.path.isfile(os.path.join(args.folder, f))
+        )
+    for path in paths:
+        print(f"loading {path}")
+        buffer.load(engine, path)
+    print(f"replay buffer: {len(buffer)} examples")
+
+    cfg = TrainLoopConfig(
+        selfplay=SelfPlayConfig(
+            games=args.games, workers=args.workers, komi=args.komi,
+            search=SearchConfig(num_sims=args.rollouts, wave_size=args.wave),
+        ),
+        pit=PitConfig(
+            games=args.pit_games, komi=args.komi,
+            search=SearchConfig(num_sims=args.pit_rollouts, wave_size=16),
+        ),
+        generations=args.generations,
+        workdir=args.workdir,
+    )
+    training_loop(engine, network, variables, buffer, cfg, seed=args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -365,6 +365,25 @@ class Engine:
             lambda old_leaf, new_leaf: jnp.where(done, old_leaf, new_leaf), state, new
         )
 
+    def wins_in_one(self, state: GameState) -> jnp.ndarray:
+        """Mask of legal actions that win immediately for the mover.
+
+        Vectorized equivalent of the reference's instant-win scan
+        (train/src/self_play.rs:119-137, playtak/src/bot.rs:60-69): try
+        every action, keep the ones whose resulting position is a win for
+        the side that just moved.
+        """
+        from ..types import result_winner
+
+        legal = self.legal_mask(state)
+        actions = jnp.arange(self.num_actions, dtype=jnp.int32)
+
+        def try_action(a):
+            nxt = self.step(state, a)
+            return result_winner(nxt.result) == state.to_move
+
+        return jax.vmap(try_action)(actions) & legal
+
     # -- batched/jitted wrappers --------------------------------------------
 
     @cached_property

@@ -382,13 +382,15 @@ class MCTS:
         """Dirichlet root noise: p <- ratio*noise + (1-ratio)*p (noise.rs:6-16)."""
 
         @jax.jit
-        def run(rng, tree_b: Tree, alpha, ratio):
+        def run(rng, tree_b: Tree, alpha, ratio, apply_mask):
             B, A = tree_b.root_prior.shape
             gammas = jax.random.gamma(rng, alpha, (B, A))
             gammas = jnp.where(tree_b.root_legal, gammas, 0.0)
             noise = gammas / jnp.maximum(gammas.sum(-1, keepdims=True), 1e-30)
             mixed = ratio * noise + (1.0 - ratio) * tree_b.root_prior
-            new_prior = jnp.where(tree_b.root_legal, mixed, tree_b.root_prior)
+            new_prior = jnp.where(
+                tree_b.root_legal & apply_mask[:, None], mixed, tree_b.root_prior
+            )
             return tree_b.replace(root_prior=new_prior)
 
         return run

@@ -166,30 +166,36 @@ class Network:
 
         return run
 
-    def train(self, variables, examples, *, rng=None, log=print):
+    def train(self, variables, examples, *, rng=None, log=print,
+              chunk_size: int | None = None, chunks_in_step: int | None = None):
         """One training pass over `examples` (list of Example), ref parity.
 
-        Returns updated variables.  `examples` must expose `.planes`
-        (np [n,n,C]), `.policy` (np [A] normalized), `.result` (float).
+        Shuffles example order, walks 500-example chunks, steps the fresh
+        Adam every 20 chunks (network.rs:37-57).  Input planes are rebuilt
+        on device from the stored game states (network.rs:59).
         """
+        from ..examples import stack_states
+
+        chunk_size = chunk_size or CHUNK_SIZE
+        chunks_in_step = chunks_in_step or CHUNKS_IN_STEP
         rng = rng or np.random.default_rng()
         params, batch_stats = variables["params"], variables["batch_stats"]
         opt_state = self.optimizer.init(params)  # fresh Adam state per call
         grad_acc = jax.tree.map(jnp.zeros_like, params)
 
+        A = self.config.policy_size
         order = rng.permutation(len(examples))
-        n_chunks = len(examples) // CHUNK_SIZE
+        n_chunks = len(examples) // chunk_size
         for i in range(n_chunks):
-            idx = order[i * CHUNK_SIZE : (i + 1) * CHUNK_SIZE]
-            planes = jnp.asarray(
-                np.stack([examples[j].planes for j in idx]), jnp.float32
-            )
-            pi = jnp.asarray(np.stack([examples[j].policy for j in idx]))
-            z = jnp.asarray(np.array([examples[j].result for j in idx], np.float32))
+            idx = order[i * chunk_size : (i + 1) * chunk_size]
+            chunk = [examples[j] for j in idx]
+            planes = self.observe_batch(stack_states(chunk))
+            pi = jnp.asarray(np.stack([e.policy_dense(A) for e in chunk]))
+            z = jnp.asarray(np.array([e.result for e in chunk], np.float32))
             grad_acc, batch_stats, lp, lz = self._accum_chunk(
                 params, batch_stats, grad_acc, planes, pi, z
             )
-            if (i + 1) % CHUNKS_IN_STEP == 0:
+            if (i + 1) % chunks_in_step == 0:
                 log(f"chunk {i + 1}/{n_chunks} p={float(lp):.4f} z={float(lz):.4f} step")
                 params, opt_state, grad_acc = self._apply_update(
                     params, opt_state, grad_acc

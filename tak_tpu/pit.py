@@ -1,0 +1,151 @@
+"""Gating matches between two networks (train/src/pit.rs).
+
+Reference semantics: 128 games from 64 paired openings (each opening
+played once with each color assignment), 50 Player-rollouts per move with
+leaf batch 16 (pit.rs:5-7) — i.e. 800 virtual-loss descents per move —
+exploitation move selection, no noise.  Openings are the forced `a1` +
+random far corner + 2 random flat/cap placements (pit.rs:33-64).
+
+TPU redesign: the reference plays games sequentially with an early exit
+when the outcome is decided (pit.rs:20-23); here all games run in
+lockstep, split into two half-batches by which network is to move (all
+lockstep games share ply parity), so the early exit is unnecessary and
+every game finishes.  win_rate = wins / (wins + losses) (pit.rs:98-111).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine.core import Engine
+from .game import Game
+from .mcts.search import MCTS, SearchConfig
+from .types import CAP, FLAT, ONGOING, result_winner
+
+
+@dataclass
+class PitConfig:
+    games: int = 128             # PIT_GAMES
+    komi: int = 2
+    search: SearchConfig = field(
+        default_factory=lambda: SearchConfig(num_sims=800, wave_size=16,
+                                             max_children=96)
+    )
+    random_plies: int = 2        # RANDOM_PLIES (pit.rs:9)
+    max_plies: int = 400
+
+
+@dataclass
+class PitResult:
+    wins: int = 0
+    losses: int = 0
+    draws: int = 0
+
+    def win_rate(self) -> float:
+        total = self.wins + self.losses
+        return self.wins / total if total else 0.0
+
+    def __str__(self) -> str:
+        return (f"PitResult {{ wins: {self.wins}, losses: {self.losses}, "
+                f"draws: {self.draws} }}")
+
+
+def _make_opening(engine: Engine, rng: np.random.Generator, komi: int):
+    """a1 + far corner + `random_plies` random flat/cap placements."""
+    n = engine.n
+    g = Game(n, half_komi=2 * komi)
+    g.play_action(0, check=False)  # a1 flat
+    corner = (n - 1) * n + (0 if rng.random() < 0.5 else n - 1)
+    g.play_action(int(corner), check=False)
+    actions = [0, int(corner)]
+    for _ in range(2):
+        legal = g.legal_actions()
+        moves = [a for a in legal
+                 if engine.tables.action_to_move(int(a)).piece in (FLAT, CAP)
+                 and not engine.tables.action_to_move(int(a)).is_spread]
+        a = int(moves[rng.integers(0, len(moves))])
+        g.play_action(a, check=False)
+        actions.append(a)
+    return actions
+
+
+def pit(engine: Engine, eval_fn, new_params, old_params,
+        config: PitConfig | None = None, seed: int = 0, log=print) -> PitResult:
+    """Play `games` paired-opening games; positive result favors `new`."""
+    cfg = config or PitConfig()
+    rng = np.random.default_rng(seed)
+    mcts = MCTS(engine, eval_fn, cfg.search)
+    jrng = jax.random.PRNGKey(seed)
+
+    n_openings = cfg.games // 2
+    openings = [_make_opening(engine, rng, cfg.komi) for _ in range(n_openings)]
+
+    # game i plays opening i % n_openings; new is white for i < n_openings
+    B = 2 * n_openings
+    states = engine.initial_batch(B, 2 * cfg.komi)
+    for p in range(len(openings[0])):
+        acts = jnp.asarray(
+            [openings[i % n_openings][p] for i in range(B)], jnp.int32
+        )
+        states = engine.batched_step(states, acts)
+    new_is_white = np.array([i < n_openings for i in range(B)])
+
+    result = PitResult()
+    done = np.zeros(B, bool)
+    H = n_openings
+    ply = len(openings[0])
+
+    def search_half(params, half_states, key):
+        tree = mcts.init_batch(half_states)
+        tree = mcts.prepare_root(params, tree)
+        tree = mcts.run_sims(params, tree)
+        return np.asarray(mcts.select_moves(key, tree, jnp.ones(H, bool)))
+
+    while not done.all() and ply < cfg.max_plies:
+        # All lockstep games share ply parity: when white is to move, `new`
+        # is the mover in exactly the first half (new_is_white block), so
+        # each net searches one contiguous fixed-shape half-batch.
+        to_move_white = (ply % 2) == 0
+        first_half = jax.tree.map(lambda x: x[:H], states)
+        second_half = jax.tree.map(lambda x: x[H:], states)
+        jrng, k1, k2 = jax.random.split(jrng, 3)
+        if to_move_white:
+            acts_a = search_half(new_params, first_half, k1)
+            acts_b = search_half(old_params, second_half, k2)
+        else:
+            acts_a = search_half(old_params, first_half, k1)
+            acts_b = search_half(new_params, second_half, k2)
+        actions = np.concatenate([acts_a, acts_b])
+
+        live = jnp.asarray(~done)
+        stepped = engine.batched_step(states, jnp.asarray(actions))
+        states = jax.tree.map(
+            lambda new, old: jnp.where(
+                live.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            stepped,
+            states,
+        )
+        ply += 1
+
+        results = np.asarray(states.result)
+        for i in range(B):
+            if done[i] or results[i] == ONGOING:
+                continue
+            done[i] = True
+            winner = int(result_winner(np.int32(results[i])))
+            if winner < 0:
+                result.draws += 1
+            elif (winner == 0) == bool(new_is_white[i]):
+                result.wins += 1
+            else:
+                result.losses += 1
+        if ply % 20 == 0:
+            log(f"pit ply {ply}: {int(done.sum())}/{B} finished {result}")
+
+    result.draws += int((~done).sum())  # max-ply stalemates count as draws
+    return result

@@ -1,0 +1,254 @@
+"""Lockstep self-play actor: the training-data hot path.
+
+TPU-native redesign of `train/src/self_play.rs:96-262`
+(self_play_parallel): `workers` games run in lockstep, every move is one
+batched MCTS (waves of virtual-loss descents fused with network
+evaluation), and finished games are reset in place until the generation
+quota is met.  Reference-parity behaviors:
+
+  * komi 2; forced opening `a1` then a random far-corner reply
+    (self_play.rs:110-117; generalized to any board size)
+  * instant-win scan before searching: if any legal move wins on the
+    spot, record a fake policy (1000 visits on winning moves, 1 on every
+    other legal move) and finish the game without search
+    (self_play.rs:119-171)
+  * Dirichlet noise alpha=0.2 ratio=0.3 at the root while ply < 80
+    (self_play.rs:14-16,173-180)
+  * 10,000 rollouts per move; sample move by visit count before ply 40,
+    argmax after (self_play.rs:12,18,220)
+  * one example per searched move (game snapshot + root visit counts),
+    completed at game end with +-1/0 from the mover's perspective
+    (self_play.rs:222-256, player.rs:171-193)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine.core import Engine
+from .examples import Example
+from .mcts.search import MCTS, SearchConfig
+from .mcts.tree import root_visit_counts
+from .types import ONGOING, GameState, result_winner
+
+INSTANT_WIN_VISITS = 1000  # fake visits for winning moves (self_play.rs:131)
+
+
+@dataclass
+class SelfPlayConfig:
+    games: int = 1000            # SELF_PLAY_GAMES (self_play.rs:10)
+    workers: int = 32            # lockstep games (self_play.rs:94)
+    komi: int = 2
+    search: SearchConfig = field(default_factory=SearchConfig)
+    noise_alpha: float = 0.2
+    noise_ratio: float = 0.3
+    noise_plies: int = 80
+    exploit_plies: int = 40
+    instant_win_scan: bool = True
+    max_plies: int = 400         # safety valve for pathological games
+
+
+class SelfPlayActor:
+    def __init__(self, engine: Engine, eval_fn, config: SelfPlayConfig):
+        self.engine = engine
+        self.config = config
+        self.mcts = MCTS(engine, eval_fn, config.search)
+
+    # -- jitted helpers ------------------------------------------------------
+
+    @cached_property
+    def _masked_step(self):
+        @jax.jit
+        def run(states: GameState, actions, mask):
+            stepped = self.engine.batched_step(states, actions)
+            return jax.tree.map(
+                lambda new, old: jnp.where(
+                    mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+                ),
+                stepped,
+                states,
+            )
+
+        return run
+
+    @cached_property
+    def _masked_reset(self):
+        fresh = self.engine.initial(2 * self.config.komi)
+
+        @jax.jit
+        def run(states: GameState, mask):
+            return jax.tree.map(
+                lambda cur, init: jnp.where(
+                    mask.reshape((-1,) + (1,) * (cur.ndim - 1)),
+                    jnp.broadcast_to(init, cur.shape),
+                    cur,
+                ),
+                states,
+                jax.tree.map(lambda x: x, fresh),
+            )
+
+        return run
+
+    @cached_property
+    def _batched_wins(self):
+        return jax.jit(jax.vmap(self.engine.wins_in_one))
+
+    @cached_property
+    def _batched_legal(self):
+        return self.engine.batched_legal_mask
+
+    def _opening_actions(self, rng: np.random.Generator, count: int):
+        """Forced a1, then a far corner at random (self_play.rs:110-117)."""
+        n = self.engine.n
+        first = np.full(count, 0, np.int32)  # flat placement at a1 (row0,col0)
+        corners = np.array(
+            [(n - 1) * n + 0, (n - 1) * n + (n - 1)], np.int32
+        )  # a<n> / <last-file><n>
+        second = corners[rng.integers(0, 2, size=count)]
+        return first, second
+
+    # -- main loop -----------------------------------------------------------
+
+    def run(self, params, seed: int = 0, log=print, example_sink=None):
+        """Produce one generation of examples.  Returns list[Example]."""
+        cfg = self.config
+        engine = self.engine
+        B = cfg.workers
+        rng = np.random.default_rng(seed)
+        jrng = jax.random.PRNGKey(seed)
+
+        states = engine.initial_batch(B, 2 * cfg.komi)
+        pending: list[list[Example]] = [[] for _ in range(B)]
+        active = np.ones(B, bool)
+        started = B
+        completed = 0
+        examples: list[Example] = []
+        sims_done = 0
+        t_start = time.time()
+
+        def finish_slot(i, white_result):
+            nonlocal completed, started
+            for ex in pending[i]:
+                to_move = int(ex.state["to_move"])
+                ex.result = white_result if to_move == 0 else -white_result
+            examples.extend(pending[i])
+            if example_sink is not None:
+                for ex in pending[i]:
+                    example_sink(ex)
+            pending[i] = []
+            completed += 1
+            return True  # caller resets the slot
+
+        while active.any():
+            plies = np.asarray(states.ply)
+
+            # play forced opening moves on fresh boards
+            fresh = (plies == 0) & active
+            if fresh.any():
+                first, second = self._opening_actions(rng, B)
+                states = self._masked_step(states, jnp.asarray(first), jnp.asarray(fresh))
+                states = self._masked_step(states, jnp.asarray(second), jnp.asarray(fresh))
+                plies = np.asarray(states.ply)
+
+            # instant-win scan
+            reset_mask = np.zeros(B, bool)
+            if cfg.instant_win_scan:
+                wins = np.asarray(self._batched_wins(states))
+                legal = np.asarray(self._batched_legal(states))
+                host_states = {
+                    k: np.asarray(v) for k, v in
+                    ((f, getattr(states, f)) for f in
+                     ("stacks", "heights", "tops", "to_move", "ply", "stones",
+                      "caps", "half_komi", "reversible", "result"))
+                }
+                for i in range(B):
+                    if not active[i] or not wins[i].any():
+                        continue
+                    acts = np.nonzero(legal[i])[0].astype(np.int32)
+                    visits = np.where(wins[i][acts], INSTANT_WIN_VISITS, 1).astype(np.int32)
+                    pending[i].append(Example(
+                        state={k: v[i].copy() for k, v in host_states.items()},
+                        actions=acts, visits=visits,
+                    ))
+                    white_result = 1.0 if int(host_states["to_move"][i]) == 0 else -1.0
+                    finish_slot(i, white_result)
+                    reset_mask[i] = True
+                if reset_mask.any():
+                    if started < cfg.games:
+                        n_new = int(reset_mask.sum())
+                        started += n_new
+                        states = self._masked_reset(states, jnp.asarray(reset_mask))
+                    else:
+                        active &= ~reset_mask
+                    if not active.any():
+                        break
+                    continue  # fresh boards get openings next iteration
+
+            # batched search
+            tree = self.mcts.init_batch(states)
+            tree = self.mcts.prepare_root(params, tree)
+            noise_mask = jnp.asarray((plies < cfg.noise_plies) & active)
+            jrng, k1, k2 = jax.random.split(jrng, 3)
+            tree = self.mcts.add_noise(
+                k1, tree, cfg.noise_alpha, cfg.noise_ratio, noise_mask
+            )
+            tree = self.mcts.run_sims(params, tree)
+            sims_done += cfg.search.num_sims * int(active.sum())
+
+            exploit = jnp.asarray(plies >= cfg.exploit_plies)
+            actions = self.mcts.select_moves(k2, tree, exploit)
+
+            # record examples (pre-move snapshot + root visit counts)
+            visits_all = np.asarray(jax.vmap(root_visit_counts)(tree))
+            host_states = {
+                k: np.asarray(getattr(states, k)) for k in
+                ("stacks", "heights", "tops", "to_move", "ply", "stones",
+                 "caps", "half_komi", "reversible", "result")
+            }
+            for i in range(B):
+                if not active[i]:
+                    continue
+                nz = np.nonzero(visits_all[i])[0].astype(np.int32)
+                pending[i].append(Example(
+                    state={k: v[i].copy() for k, v in host_states.items()},
+                    actions=nz, visits=visits_all[i][nz].astype(np.int32),
+                ))
+
+            # play the chosen moves
+            states = self._masked_step(states, actions, jnp.asarray(active))
+            results = np.asarray(states.result)
+            new_plies = np.asarray(states.ply)
+
+            reset_mask = np.zeros(B, bool)
+            for i in range(B):
+                if not active[i]:
+                    continue
+                over = results[i] != ONGOING or new_plies[i] >= cfg.max_plies
+                if over:
+                    winner = int(result_winner(results[i]))
+                    white_result = 1.0 if winner == 0 else (-1.0 if winner == 1 else 0.0)
+                    finish_slot(i, white_result)
+                    reset_mask[i] = True
+                    log(f"game {completed}/{cfg.games} done "
+                        f"({new_plies[i]} plies, result {int(results[i])})")
+            if reset_mask.any():
+                if started < cfg.games:
+                    started += int(reset_mask.sum())
+                    states = self._masked_reset(states, jnp.asarray(reset_mask))
+                else:
+                    active &= ~reset_mask
+
+            if completed >= cfg.games:
+                break
+
+        dt = time.time() - t_start
+        if dt > 0:
+            log(f"self-play: {completed} games, {len(examples)} examples, "
+                f"{sims_done / dt:,.0f} sims/s")
+        return examples
