@@ -1,0 +1,133 @@
+"""Headline benchmark: 6x6 MCTS sims/s and env-steps/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Baselines (BASELINE.md driver targets, per chip on 6x6):
+  * >= 100,000 MCTS sims/s  (primary metric; vs_baseline = value / 1e5)
+  * >= 1,000,000 env-steps/s (reported in extras)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+
+# persistent compile cache + TPU-native PRNG (threefry burns VPU cycles)
+os.makedirs(os.path.expanduser("~/.jax_cache"), exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_default_prng_impl", "rbg")
+
+import jax.numpy as jnp
+
+N = int(os.environ.get("BENCH_SIZE", 6))
+ENV_BATCH = int(os.environ.get("BENCH_ENV_BATCH", 8192))
+ENV_STEPS = int(os.environ.get("BENCH_ENV_STEPS", 64))
+MCTS_BATCH = int(os.environ.get("BENCH_MCTS_BATCH", 256))
+MCTS_SIMS = int(os.environ.get("BENCH_MCTS_SIMS", 1024))
+MCTS_WAVE = int(os.environ.get("BENCH_MCTS_WAVE", 16))
+MCTS_K = int(os.environ.get("BENCH_MCTS_K", 64))
+
+
+def bench_env(engine):
+    """Random-legal-move lockstep playouts, all on device."""
+    from tak_tpu.types import ONGOING
+
+    fresh = engine.initial(4)
+
+    @jax.jit
+    def rollout(states, rng):
+        def body(carry, _):
+            states, rng = carry
+            rng, k = jax.random.split(rng)
+            masks = jax.vmap(engine.legal_mask)(states)
+            # uniform-random legal move = argmax of random keys over the mask
+            bits = jax.random.bits(k, masks.shape, jnp.uint16)
+            actions = jnp.argmax(
+                jnp.where(masks, bits, jnp.uint16(0)), -1
+            ).astype(jnp.int32)
+            states = engine.batched_step(states, actions)
+            done = states.result != ONGOING
+            states = jax.tree.map(
+                lambda cur, init: jnp.where(
+                    done.reshape((-1,) + (1,) * (cur.ndim - 1)),
+                    jnp.broadcast_to(init, cur.shape),
+                    cur,
+                ),
+                states,
+                fresh,
+            )
+            return (states, rng), None
+
+        (states, _), _ = jax.lax.scan(body, (states, rng), None, length=ENV_STEPS)
+        return states
+
+    states = engine.initial_batch(ENV_BATCH, 4)
+    rng = jax.random.PRNGKey(0)
+    jax.block_until_ready(rollout(states, rng))  # compile
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        states = rollout(states, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+    return ENV_BATCH * ENV_STEPS * reps / dt
+
+
+def bench_mcts(engine):
+    from tak_tpu.mcts.search import MCTS, SearchConfig
+    from tak_tpu.model.network import Network
+
+    network = Network(engine)  # flagship Net6: 16 blocks x 128 filters
+    variables = network.init_variables(0)
+    eval_fn = lambda p, s: network.policy_eval_states(p, s)
+    cfg = SearchConfig(num_sims=MCTS_SIMS, wave_size=MCTS_WAVE,
+                       max_children=MCTS_K)
+    mcts = MCTS(engine, eval_fn, cfg)
+
+    states = engine.initial_batch(MCTS_BATCH, 4)
+    states = engine.batched_step(states, jnp.zeros(MCTS_BATCH, jnp.int32))
+    states = engine.batched_step(
+        states, jnp.full(MCTS_BATCH, engine.num_squares - 1, jnp.int32)
+    )
+
+    def run():
+        tree = mcts.init_batch(states)
+        tree = mcts.prepare_root(variables, tree)
+        tree = mcts.run_sims(variables, tree)
+        return tree
+
+    jax.block_until_ready(run().n)  # compile
+    t0 = time.perf_counter()
+    tree = run()
+    jax.block_until_ready(tree.n)
+    dt = time.perf_counter() - t0
+    sims = MCTS_BATCH * cfg.num_waves * cfg.wave_size
+    return sims / dt
+
+
+def main():
+    from tak_tpu.engine.core import get_engine
+
+    engine = get_engine(N)
+    env_rate = bench_env(engine)
+    mcts_rate = bench_mcts(engine)
+    print(json.dumps({
+        "metric": f"mcts_sims_per_s_{N}x{N}",
+        "value": round(mcts_rate),
+        "unit": "sims/s",
+        "vs_baseline": round(mcts_rate / 100_000, 3),
+        "env_steps_per_s": round(env_rate),
+        "env_vs_baseline": round(env_rate / 1_000_000, 3),
+        "device": str(jax.devices()[0]),
+        "config": {"env_batch": ENV_BATCH, "mcts_batch": MCTS_BATCH,
+                   "mcts_sims": MCTS_SIMS, "wave": MCTS_WAVE, "k": MCTS_K},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -113,6 +113,18 @@ class Engine:
         self.start_stones, self.start_caps = stones, caps
 
         as_j = partial(jnp.asarray)
+        # distance of square q from origin o along direction d (0 = not on
+        # the ray); lets step() update all drop targets with vectorized
+        # per-square selects instead of serialized dynamic scatters
+        dist = np.zeros((n * n, 4, n * n), np.int32)
+        for o in range(n * n):
+            for d in range(4):
+                for j in range(n - 1):
+                    q = t.spread_path[o, d, j]
+                    if q < n * n:
+                        dist[o, d, q] = j + 1
+        self.PATH_DIST = jnp.asarray(dist)            # [n2, 4, n2]
+
         self.PAT_DROPS = as_j(t.pat_drops)            # [P, n-1]
         self.PAT_CUM = as_j(
             np.concatenate(
@@ -125,6 +137,23 @@ class Engine:
         self.PAT_LAST = as_j(t.pat_last)              # [P]
         self.SPREAD_PATH = as_j(t.spread_path)        # [n*n, 4, n-1]
         self.SPREAD_FITS = as_j(t.spread_fits)        # [n*n, 4, P]
+        # constant one-hot operators that turn the legal-mask gathers into
+        # MXU matmuls (TPU gathers are scalar-unit-bound; constant-index
+        # gathers of batched operands are the hot path's worst op)
+        pad = n * n + 1
+        path_flat = t.spread_path.reshape(-1)          # [n2*4*(n-1)]
+        path_onehot = np.zeros((pad, path_flat.size), np.float32)
+        path_onehot[path_flat, np.arange(path_flat.size)] = 1.0
+        self.PATH_ONEHOT = jnp.asarray(path_onehot)    # [n2+1, n2*4*(n-1)]
+        sel_s = np.zeros((t.pat_s.size, n - 1), np.float32)
+        sel_s[np.arange(t.pat_s.size), t.pat_s - 1] = 1.0
+        self.SEL_S = jnp.asarray(sel_s)                # [P, n-1]
+        sel_k = np.zeros((n, t.pat_k.size), np.float32)
+        sel_k[t.pat_k - 1, np.arange(t.pat_k.size)] = 1.0
+        self.SEL_K = jnp.asarray(sel_k)                # [n, P]
+        self.LAST1 = jnp.asarray((t.pat_last == 1).astype(np.float32))  # [P]
+        self.FITS_F = jnp.asarray(t.spread_fits.astype(np.float32))
+
         self.CANON_KEY = as_j(t.canon_key)            # [A]
         self.SYM_ACTION = as_j(t.sym_action)          # [8, A]
         self.SYM_SQUARE = as_j(t.sym_square)          # [8, n*n]
@@ -169,42 +198,57 @@ class Engine:
 
     # -- road detection ------------------------------------------------------
 
-    def has_road(self, state: GameState, color) -> jnp.ndarray:
-        """Edge-to-edge road of flats+caps for `color` (board.rs:77-113).
+    def roads(self, state: GameState) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(white_road, black_road): edge-to-edge roads of flats+caps
+        (board.rs:77-113).
 
-        Iterated masked dilation over the board instead of recursive DFS:
-        label bit0 = reached from the bottom edge (row 0), bit1 = reached
-        from the left edge (col 0); n*n dilation steps reach any fixpoint.
+        Masked-dilation flood fill instead of recursive DFS, with both
+        colors and both axes packed into one int32 label grid (bit 0:
+        white reached-from-bottom, bit 1: white reached-from-left, bits
+        2-3: same for black).  The n*n dilation steps are unrolled so XLA
+        fuses the whole fixpoint into one kernel (a fori_loop/while lowers
+        to dozens of serialized tiny kernels).
         """
         n = self.n
         owner = self.top_colors(state)
-        own = (
-            (state.heights > 0)
-            & (owner == color)
-            & ((state.tops == FLAT) | (state.tops == CAP))
-        ).reshape(n, n)
-        row_seed = jnp.zeros((n, n), jnp.int32).at[0, :].set(1)
-        col_seed = jnp.zeros((n, n), jnp.int32).at[:, 0].set(2)
-        lab = jnp.where(own, row_seed | col_seed, 0)
+        roady = (state.heights > 0) & ((state.tops == FLAT) | (state.tops == CAP))
+        grid = roady.reshape(n, n)
+        owner_grid = owner.reshape(n, n)
+        pw2 = (_U32(1) << jnp.arange(n, dtype=_U32))
+        wrow = jnp.sum(jnp.where(grid & (owner_grid == 0), pw2, _U32(0)), -1)
+        brow = jnp.sum(jnp.where(grid & (owner_grid == 1), pw2, _U32(0)), -1)
+        own = jnp.stack([wrow, brow])              # [2, n] row bitmasks
+        own = own | (own << 16)                    # plane 2: from-left-edge
 
-        def dilate(_, lab):
-            spread = lab
-            spread = spread | jnp.roll(lab, 1, 0).at[0, :].set(0)
-            spread = spread | jnp.roll(lab, -1, 0).at[-1, :].set(0)
-            spread = spread | jnp.roll(lab, 1, 1).at[:, 0].set(0)
-            spread = spread | jnp.roll(lab, -1, 1).at[:, -1].set(0)
-            return jnp.where(own, spread, 0)
+        row0 = (jnp.arange(n) == 0).astype(_U32)
+        seed = (own & ((_U32(1) << n) - 1)) * row0[None, :]  # bottom edge
+        seed = seed | ((own & (_U32(1) << 16)))              # left edge
+        lab = seed
 
-        lab = jax.lax.fori_loop(0, n * n, dilate, lab)
-        return jnp.any(lab[-1, :] & 1) | jnp.any(lab[:, -1] & 2)
+        zero_col = jnp.zeros((2, 1), _U32)
+        for _ in range(n * n):
+            up = jnp.concatenate([zero_col, lab[:, :-1]], 1)
+            down = jnp.concatenate([lab[:, 1:], zero_col], 1)
+            lab = (lab | (lab << 1) | (lab >> 1) | up | down) & own
+
+        far_row = lab[:, -1] & ((_U32(1) << n) - 1)          # reached top row
+        far_col = jnp.any(lab & (_U32(1) << (16 + n - 1)) != 0, axis=1)
+        white = (far_row[0] != 0) | far_col[0]
+        black = (far_row[1] != 0) | far_col[1]
+        return white, black
+
+    def has_road(self, state: GameState, color) -> jnp.ndarray:
+        white, black = self.roads(state)
+        return jnp.where(color == 0, white, black)
 
     # -- game result ---------------------------------------------------------
 
     def compute_result(self, state: GameState) -> jnp.ndarray:
         """Pure recomputation of the result code (game.rs:220-263)."""
         just_moved = 1 - state.to_move
-        road_jm = self.has_road(state, just_moved)
-        road_om = self.has_road(state, state.to_move)
+        white_road, black_road = self.roads(state)
+        road_jm = jnp.where(just_moved == 0, white_road, black_road)
+        road_om = jnp.where(just_moved == 0, black_road, white_road)
         road_code = jnp.where(
             road_jm,
             jnp.where(just_moved == 0, WHITE_ROAD, BLACK_ROAD),
@@ -257,31 +301,39 @@ class Engine:
         owner = self.top_colors(state)
         own = (state.heights > 0) & (owner == state.to_move) & ~opening
 
+        # --- spreads ----------------------------------------------------
+        # Pattern legality factors only through (total k, #squares s, last
+        # drop == 1), so combine everything at [n2, 4, n-1] first and
+        # expand to the pattern axis with one take at the end.
         tops_pad = jnp.concatenate([state.tops, jnp.array([CAP], jnp.int32)])
-        path_tops = tops_pad[self.SPREAD_PATH]           # [n2, 4, n-1]
+        # NB: flat 1-D take, not tops_pad[SPREAD_PATH] — XLA:TPU compiles
+        # multi-dim-indexed gathers of 1-D operands pathologically (200s+)
+        path_tops = jnp.take(tops_pad, self.SPREAD_PATH.reshape(-1)).reshape(
+            n2, 4, n - 1
+        )                                                # [n2, 4, n-1]
         passable = path_tops <= FLAT                     # empty or flat
         # prefix_clear[:, :, j] == all squares at distance <= j+1 passable
-        prefix_clear = jnp.cumprod(passable.astype(jnp.int32), axis=-1) > 0
-
-        s_idx = self.PAT_S - 1                           # [P]
-        # all squares strictly before the final one are passable:
-        before_ok = jnp.where(
-            self.PAT_S == 1,
-            jnp.ones((n2, 4, P), bool),
-            prefix_clear[:, :, jnp.maximum(s_idx - 1, 0)],
+        prefix_clear = jnp.cumprod(passable.astype(jnp.int8), axis=-1) > 0
+        before = jnp.concatenate(  # squares strictly before distance j clear
+            [jnp.ones((n2, 4, 1), bool), prefix_clear[:, :, :-1]], axis=-1
         )
-        final_top = path_tops[:, :, s_idx]               # [n2, 4, P]
         cap_origin = (state.tops == CAP)[:, None, None]
-        smash = (final_top == WALL) & cap_origin & (self.PAT_LAST == 1)[None, None, :]
-        final_ok = (final_top <= FLAT) | smash
+        smashable = path_tops == WALL
+        plain_ok = before & passable                         # [n2, 4, n-1]
+        smash_ok = before & smashable & cap_origin           # [n2, 4, n-1]
+
+        s_idx = self.PAT_S - 1                               # [P]
+        g_plain = jnp.take(plain_ok, s_idx, axis=2)          # [n2, 4, P]
+        g_smash = jnp.take(smash_ok, s_idx, axis=2)
+        hk = (state.heights[:, None] >= jnp.arange(1, n + 1)[None, :])
+        g_height = jnp.take(hk, self.PAT_K - 1, axis=1)      # [n2, P]
 
         spread = (
             own[:, None, None]
-            & (state.heights[:, None, None] >= self.PAT_K[None, None, :])
+            & g_height[:, None, :]
             & self.SPREAD_FITS
-            & before_ok
-            & final_ok
-        )                                                # [n2, 4, P]
+            & (g_plain | (g_smash & (self.PAT_LAST == 1)[None, None, :]))
+        )                                                    # [n2, 4, P]
 
         return jnp.concatenate(
             [
@@ -295,64 +347,106 @@ class Engine:
     # -- step ----------------------------------------------------------------
 
     def step(self, state: GameState, action) -> GameState:
-        """Apply one action (assumed legal).  No-op on finished games."""
+        """Apply one action (assumed legal).  No-op on finished games.
+
+        Scatter-free formulation: every square decides its own update from
+        the decoded action (distance along the spread ray via PATH_DIST),
+        so the whole step is fused vectorized selects — no serialized
+        dynamic-update ops on the hot path.
+        """
         n, n2, P, W = self.n, self.num_squares, self.num_pat, self.words
         ch, sq = action // n2, action % n2
         is_place = ch < 3
+        is_origin = jnp.arange(n2) == sq                      # [n2]
 
-        # ---- placement branch (game.rs:147-169) ----
         color_eff = self._effective_color(state)
-        piece = ch + 1
-        p_stacks = state.stacks.at[sq, 0].set(color_eff.astype(_U32))
-        p_heights = state.heights.at[sq].set(1)
-        p_tops = state.tops.at[sq].set(piece)
-        is_cap_place = piece == CAP
-        p_stones = state.stones.at[color_eff].add(jnp.where(is_cap_place, 0, -1))
-        p_caps = state.caps.at[state.to_move].add(jnp.where(is_cap_place, -1, 0))
+        orig_top = state.tops[sq]
+        h = state.heights[sq]
 
-        # ---- spread branch (game.rs:171-209) ----
+        # ---- spread decode (game.rs:171-209) ----
         dp = jnp.maximum(ch - 3, 0)
         d, p = dp // P, dp % P
-        k = self.PAT_K[p]
+        k = jnp.where(is_place, 0, self.PAT_K[p])
         s = self.PAT_S[p]
-        h = state.heights[sq]
         lo = h - k
         carry = _read_window(state.stacks[sq], lo, k)
-        # clear the carried bits from the origin
-        cj, cm0, cm1 = _window_words((_U32(1) << k.astype(_U32)) - _U32(1), lo, k)
-        s_stacks = state.stacks.at[sq, cj].set(state.stacks[sq, cj] & ~cm0)
-        s_stacks = s_stacks.at[sq, cj + 1].set(
-            jnp.take(s_stacks[sq], cj + 1, mode="fill", fill_value=0) & ~cm1,
-            mode="drop",
+
+        # per-square drop amounts / carry segments along the ray
+        dist = self.PATH_DIST[sq, d]                          # [n2]
+        on_ray = (~is_place) & (dist >= 1) & (dist <= s)
+        jq = jnp.maximum(dist - 1, 0)
+        drops = jnp.where(on_ray, self.PAT_DROPS[p][jq], 0)   # [n2]
+        cum = self.PAT_CUM[p][jq].astype(_U32)                # [n2]
+        bits = (carry >> cum) & ((_U32(1) << drops.astype(_U32)) - _U32(1))
+
+        # placement contributes a single bottom piece at the origin
+        place_bits = jnp.where(is_place, color_eff, 0).astype(_U32)
+        ins_bits = jnp.where(is_origin, place_bits, bits)     # [n2]
+        ins_count = jnp.where(
+            is_place, jnp.where(is_origin, 1, 0), drops
+        )                                                     # [n2]
+
+        # insert ins_bits at each square's current height (two-word window)
+        th = state.heights
+        jw = th >> 5
+        off = (th & 31).astype(_U32)
+        w0 = ins_bits << off
+        w1 = jnp.where(
+            off == 0, _U32(0),
+            ins_bits >> jnp.minimum(_U32(32) - off, _U32(31)),
         )
-        s_heights = state.heights.at[sq].set(lo)
-        orig_top = state.tops[sq]
-        s_tops = state.tops.at[sq].set(jnp.where(lo > 0, FLAT, EMPTY))
+        word_ids = jnp.arange(W)[None, :]                     # [1, W]
+        add = (
+            jnp.where(word_ids == jw[:, None], w0[:, None], _U32(0))
+            | jnp.where(word_ids == jw[:, None] + 1, w1[:, None], _U32(0))
+        )                                                     # [n2, W]
 
-        for j in range(n - 1):
-            dj = self.PAT_DROPS[p, j]
-            active = j < s
-            tgt = jnp.where(active, self.SPREAD_PATH[sq, d, j], n2)
-            bits = (carry >> self.PAT_CUM[p, j].astype(_U32)) & (
-                (_U32(1) << dj.astype(_U32)) - _U32(1)
-            )
-            th = jnp.where(active, s_heights[tgt], 0)
-            wj, w0, w1 = _window_words(bits, th, dj)
-            s_stacks = s_stacks.at[tgt, wj].add(w0, mode="drop")
-            s_stacks = s_stacks.at[tgt, wj + 1].add(w1, mode="drop")
-            s_heights = s_heights.at[tgt].add(jnp.where(active, dj, 0), mode="drop")
-            new_top = jnp.where(j == s - 1, orig_top, FLAT)
-            s_tops = s_tops.at[tgt].set(new_top, mode="drop")
+        # clear the carried window at the spread origin
+        cj = jnp.maximum(lo, 0) >> 5
+        coff = (lo & 31).astype(_U32)
+        cmask = (_U32(1) << k.astype(_U32)) - _U32(1)
+        cm0 = cmask << coff
+        cm1 = jnp.where(
+            coff == 0, _U32(0),
+            cmask >> jnp.minimum(_U32(32) - coff, _U32(31)),
+        )
+        clear = (
+            jnp.where(word_ids == cj, cm0, _U32(0))
+            | jnp.where(word_ids == cj + 1, cm1, _U32(0))
+        )
+        clear = jnp.where(((~is_place) & is_origin)[:, None], clear, _U32(0))
 
-        # ---- select branch + common updates ----
+        new_stacks = (state.stacks & ~clear) | add
+        new_heights = jnp.where(
+            is_origin,
+            jnp.where(is_place, 1, lo),
+            state.heights + ins_count,
+        )
+        # intermediate drops are flats; the final drop carries the moving
+        # stack's top piece type; a smashed wall stays buried as a flat
+        spread_top = jnp.where(dist == s, orig_top, FLAT)
+        new_tops = jnp.where(
+            is_origin,
+            jnp.where(is_place, ch + 1, jnp.where(lo > 0, FLAT, EMPTY)),
+            jnp.where(on_ray, spread_top, state.tops),
+        )
+
+        is_cap_place = is_place & (ch + 1 == CAP)
+        new_stones = state.stones.at[color_eff].add(
+            jnp.where(is_place & ~is_cap_place, -1, 0)
+        )
+        new_caps = state.caps.at[state.to_move].add(
+            jnp.where(is_cap_place, -1, 0)
+        )
+
         new = GameState(
-            stacks=jnp.where(is_place, p_stacks, s_stacks),
-            heights=jnp.where(is_place, p_heights, s_heights),
-            tops=jnp.where(is_place, p_tops, s_tops),
+            stacks=new_stacks,
+            heights=new_heights,
+            tops=new_tops,
             to_move=1 - state.to_move,
             ply=state.ply + 1,
-            stones=jnp.where(is_place, p_stones, state.stones),
-            caps=jnp.where(is_place, p_caps, state.caps),
+            stones=new_stones,
+            caps=new_caps,
             half_komi=state.half_komi,
             reversible=jnp.where(is_place, 0, state.reversible + 1),
             result=state.result,

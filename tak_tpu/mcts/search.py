@@ -50,6 +50,7 @@ class SearchConfig:
     num_sims: int = 10_000      # rollouts per move (self_play.rs:12)
     wave_size: int = 8          # descents per game between NN evals
     max_children: int = 96      # K: stored edges per non-root node
+    node_budget: int | None = None  # tree capacity; default fits num_sims
     exploration_base: float = EXPLORATION_BASE
     exploration_init: float = EXPLORATION_INIT
 
@@ -59,7 +60,9 @@ class SearchConfig:
 
     @property
     def max_nodes(self) -> int:
-        return self.num_waves * self.wave_size + 2
+        """Node pool size.  Set `node_budget` when calling run_sims more
+        than once on the same tree (pondering / incremental thinking)."""
+        return self.node_budget or (self.num_waves * self.wave_size + 2)
 
 
 def _argmax_last(x):
@@ -244,10 +247,16 @@ class MCTS:
                 next_free=idx + 1,
             )
 
-        created = status == _CREATE
+        # pool-exhaustion guard: when the node budget is spent (possible
+        # only with an explicit small node_budget during open-ended
+        # pondering), fall back to re-evaluating the would-be parent
+        can_create = tree.next_free < self.config.max_nodes
+        created = (status == _CREATE) & can_create
         new_idx = tree.next_free
         tree = jax.lax.cond(created, do_create, lambda t: t, tree)
-        leaf = jnp.where(created, new_idx, cur)
+        leaf = jnp.where(
+            created, new_idx, jnp.where(status == _CREATE, cp, cur)
+        )
 
         is_term = tree.result[leaf] != ONGOING
         tree = jax.lax.cond(
