@@ -82,32 +82,30 @@ def tree_debug_info(engine, tree, game_index: int = 0,
     child = np.asarray(tree.root_child[game_index])
     prior = np.asarray(tree.root_prior[game_index])
     legal = np.asarray(tree.root_legal[game_index])
-    n = np.asarray(tree.n[game_index])
-    w = np.asarray(tree.w[game_index])
+    root_n = np.asarray(tree.root_n[game_index])
+    root_w = np.asarray(tree.root_w[game_index])
     e_act = np.asarray(tree.edge_action[game_index])
     e_child = np.asarray(tree.edge_child[game_index])
+    e_n = np.asarray(tree.edge_n[game_index])
 
     def continuation(node: int, depth: int):
         line = []
         while depth > 0 and node != NONE:
-            acts, childs = e_act[node], e_child[node]
-            visits = np.where(childs != NONE, n[np.maximum(childs, 0)], 0)
+            visits = e_n[node]
             if visits.sum() == 0:
                 break
             best = len(visits) - 1 - int(np.argmax(visits[::-1]))
-            node = int(childs[best])
-            if node == NONE:
-                break
-            line.append((engine.tables.action_to_ptn(int(acts[best])),
-                         int(n[node])))
+            line.append((engine.tables.action_to_ptn(int(e_act[node, best])),
+                         int(visits[best])))
+            node = int(e_child[node, best])
             depth -= 1
         return line
 
     moves = []
     for a in np.nonzero(legal)[0]:
         c = int(child[a])
-        visits = int(n[c]) if c != NONE else 0
-        reward = float(w[c] / n[c]) if c != NONE and n[c] > 0 else 0.0
+        visits = int(root_n[a])
+        reward = float(root_w[a] / root_n[a]) if visits > 0 else 0.0
         moves.append(MoveInfo(
             mov=engine.tables.action_to_ptn(int(a)),
             visits=visits,

@@ -14,25 +14,38 @@ matters for play strength parity:
     starting with -value at the leaf (mcts.rs:67-91).
 
 Execution model is TPU-native instead of thread-plus-channel
-(player.rs:61-110): each *wave* runs `wave_size` virtual-loss descents per
-game (pure index walks — node states are stored in the tree, so the env
-steps once per simulation), evaluates all B*wave_size leaves in one fused
-network forward, then devirtualizes.  The whole search for a move is one
-jitted `lax.scan` over waves.
+(player.rs:61-110), engineered for the hardware's actual cost model
+(measured: scattered-element gathers and tiny kernels dominate; row reads,
+dense elementwise math, and batched scatters are cheap):
+
+  * stats live on edges / dense root arrays (see mcts/tree.py), so PUCT
+    selection is row reads + vector math — no per-node stat gathers;
+  * each cursor carries its own node's visit count (read off the edge it
+    traversed), so selection needs no parent lookups at all;
+  * all `wave_size` descents advance one tree level per iteration with
+    staggered starts (cursor v starts at iteration v).  Cursors always
+    sit at distinct depths, so earlier descents have already virtually
+    visited everything a later cursor sees — bitwise-identical to running
+    the descents sequentially — while every tree operation batches
+    across cursors;
+  * descents walk indices only: the env step for every new leaf, the
+    network evaluation, node expansion, and all V backups happen batched
+    once per wave; the whole search for a move is one jitted
+    `lax.scan` over waves.
 
 Known deviation from the reference (documented): a node created earlier in
 the same wave is "pending" (its NN prior hasn't arrived).  The reference
 descends through such nodes using uniform temporary priors
-(mcts.rs:42-47); here the descent stops at the pending node and its
-evaluation (already in flight this wave) is reused.  With the reference's
-own self-play configuration (one descent per game per wave,
-self_play.rs:181-210) the two behaviors are identical.
+(mcts.rs:42-47); here the descent stops at the pending node and reuses the
+evaluation already in flight.  With the reference's own self-play
+configuration (one descent per game per wave, self_play.rs:181-210) the
+behaviors coincide.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import cached_property, partial
+from functools import cached_property
 
 import jax
 import jax.numpy as jnp
@@ -70,15 +83,12 @@ def _argmax_last(x):
     return x.shape[-1] - 1 - jnp.argmax(x[::-1])
 
 
-# descent status codes
-_DESC, _CREATE, _LEAF = 0, 1, 2
-
-
 class MCTS:
     """Batched search bound to an engine and an evaluation function.
 
     eval_fn(params, states_with_leading_batch) -> (policy [*, A], value [*])
     where policy is a softmax over the full action space (net6.rs:98-108).
+    `prepare_root` must run on fresh trees before `run_sims`.
     """
 
     def __init__(self, engine: Engine, eval_fn, config: SearchConfig):
@@ -86,7 +96,7 @@ class MCTS:
         self.eval_fn = eval_fn
         self.config = config
 
-    # -- tree construction ---------------------------------------------------
+    # -- tree construction -------------------------------------------------
 
     def init_batch(self, root_states: GameState) -> Tree:
         """Fresh trees for a batch of root states (leading axis B)."""
@@ -96,7 +106,7 @@ class MCTS:
             )
         )(root_states)
 
-    # -- selection -----------------------------------------------------------
+    # -- selection ---------------------------------------------------------
 
     def _c_puct(self, n):
         cfg = self.config
@@ -105,246 +115,260 @@ class MCTS:
             + cfg.exploration_init
         )
 
-    def _child_stats(self, tree: Tree, child):
-        has = child != NONE
-        ci = jnp.maximum(child, 0)
-        cn = jnp.where(has, tree.n[ci], 0).astype(jnp.float32)
-        cv = jnp.where(has, tree.virt[ci], 0).astype(jnp.float32)
-        cw = jnp.where(has, tree.w[ci], 0.0)
-        tot = cn + cv
-        q = jnp.where(tot > 0, (cw - cv) / jnp.maximum(tot, 1.0), 0.0)
+    @staticmethod
+    def _q_vl(n, virt, w):
+        tot = (n + virt).astype(jnp.float32)
+        q = jnp.where(
+            tot > 0, (w - virt.astype(jnp.float32)) / jnp.maximum(tot, 1.0), 0.0
+        )
         return q, tot
 
     def _select_root(self, tree: Tree):
-        n0 = (tree.n[0] + tree.virt[0]).astype(jnp.float32)
-        q, tot = self._child_stats(tree, tree.root_child)
+        """Dense PUCT over the full action space (no gathers)."""
+        n0 = (tree.n0 + tree.virt0).astype(jnp.float32)
+        q, tot = self._q_vl(tree.root_n, tree.root_virt, tree.root_w)
         u = self._c_puct(n0) * tree.root_prior * jnp.sqrt(n0) / (1.0 + tot)
         scores = jnp.where(tree.root_legal, q + u, -jnp.inf)
         return _argmax_last(scores)
 
-    def _select_edge(self, tree: Tree, node):
-        acts = tree.edge_action[node]
-        valid = acts != NONE
-        np_ = (tree.n[node] + tree.virt[node]).astype(jnp.float32)
-        q, tot = self._child_stats(tree, tree.edge_child[node])
-        u = self._c_puct(np_) * tree.edge_prior[node] * jnp.sqrt(np_) / (1.0 + tot)
-        scores = jnp.where(valid, q + u, -jnp.inf)
-        return _argmax_last(scores)
+    def _select_edges(self, tree: Tree, cur, nv):
+        """PUCT over the K edge rows of `cur` ([V]); nv = carried N(cur)."""
+        ci = jnp.maximum(cur, 0)
+        acts = tree.edge_action[ci]                     # [V, K] row reads
+        q, tot = self._q_vl(tree.edge_n[ci], tree.edge_virt[ci], tree.edge_w[ci])
+        npf = nv.astype(jnp.float32)[:, None]
+        u = self._c_puct(npf) * tree.edge_prior[ci] * jnp.sqrt(npf) / (1.0 + tot)
+        scores = jnp.where(acts != NONE, q + u, -jnp.inf)
+        K = scores.shape[-1]
+        slots = K - 1 - jnp.argmax(scores[:, ::-1], axis=-1)
+        return slots
 
-    # -- backups -------------------------------------------------------------
+    # -- pipelined wave descents -------------------------------------------
 
-    def _backup_virtual(self, tree: Tree, leaf):
-        def cond(c):
-            return c[0] != NONE
+    def _descend_wave(self, tree: Tree):
+        """Run wave_size pipelined descents on one game's tree.
 
-        def body(c):
-            cur, t = c
-            t = t.replace(virt=t.virt.at[cur].add(1))
-            return (t.parent[cur], t)
-
-        _, tree = jax.lax.while_loop(cond, body, (leaf, tree))
-        return tree
-
-    def _backup_concrete(self, tree: Tree, leaf):
-        winner = result_winner(tree.result[leaf])  # -1 draw, 0 white, 1 black
-
-        def cond(c):
-            return c[0] != NONE
-
-        def body(c):
-            cur, t = c
-            to_move = t.state.to_move[cur]
-            reward = jnp.where(
-                winner < 0, 0.0, jnp.where(to_move == winner, -1.0, 1.0)
-            )
-            t = t.replace(
-                n=t.n.at[cur].add(1), w=t.w.at[cur].add(reward)
-            )
-            return (t.parent[cur], t)
-
-        _, tree = jax.lax.while_loop(cond, body, (leaf, tree))
-        return tree
-
-    def _backup_devirtualize(self, tree: Tree, leaf, value):
-        def cond(c):
-            return c[0] != NONE
-
-        def body(c):
-            cur, sign, t = c
-            t = t.replace(
-                n=t.n.at[cur].add(1),
-                virt=t.virt.at[cur].add(-1),
-                w=t.w.at[cur].add(sign * value),
-            )
-            return (t.parent[cur], -sign, t)
-
-        _, _, tree = jax.lax.while_loop(cond, body, (leaf, jnp.float32(-1.0), tree))
-        return tree
-
-    # -- descent -------------------------------------------------------------
-
-    def _descend(self, tree: Tree):
-        """One virtual-loss descent of a single game's tree.
-
-        Returns (tree, leaf, needs_devirt).
+        Returns (tree, leaf [V], created [V]).
         """
-        a0 = self._select_root(tree)
-        c0 = tree.root_child[a0]
+        V = self.config.wave_size
+        M = self.config.max_nodes
+        A = self.engine.num_actions
+        NONE_V = jnp.full(V, NONE, jnp.int32)
+        iota = jnp.arange(V)
 
-        def loop_cond(carry):
-            return carry[1] == _DESC
+        def cond(carry):
+            t, _tree, cur, _nv, _leaf, _created = carry
+            return (t < V) | jnp.any(cur != NONE)
 
-        def loop_body(carry):
-            cur, status, cp, cs, ca = carry
-            is_term = tree.result[cur] != ONGOING
-            is_pending = ~tree.expanded[cur]
-            slot = self._select_edge(tree, cur)
-            action = tree.edge_action[cur, slot]
-            child = tree.edge_child[cur, slot]
-            stop_here = is_term | is_pending
-            create = ~stop_here & (child == NONE)
-            status = jnp.where(stop_here, _LEAF, jnp.where(create, _CREATE, _DESC))
-            cp = jnp.where(create, cur, cp)
-            cs = jnp.where(create, slot, cs)
-            ca = jnp.where(create, action, ca)
-            cur = jnp.where(status == _DESC, child, cur)
-            return (cur, status, cp, cs, ca)
+        def body(carry):
+            t, tree, cur, nv, leaf, created = carry
 
-        init_status = jnp.where(c0 == NONE, _CREATE, _DESC)
-        init = (
-            jnp.where(c0 == NONE, 0, c0),
-            init_status,
-            jnp.int32(0),  # create-parent (root)
-            jnp.int32(-1),  # create-slot; -1 marks "root edge" (use action)
-            a0,            # create-action
+            # --- start cursor t at the root ----------------------------
+            starting = t < V
+            a0 = self._select_root(tree)
+            c0 = tree.root_child[a0]
+            nv0 = tree.root_n[a0] + tree.root_virt[a0]  # pre-mark count
+            mark0 = jnp.where(starting, a0, A)
+            root_virt = tree.root_virt.at[mark0].add(1, mode="drop")
+            virt0 = tree.virt0 + jnp.where(starting, 1, 0)
+            root_create = starting & (c0 == NONE) & (tree.next_free < M)
+            idx0 = tree.next_free
+            root_child = tree.root_child.at[
+                jnp.where(root_create, a0, A)
+            ].set(idx0, mode="drop")
+            sent0 = jnp.where(root_create, idx0, M)
+            parent = tree.parent.at[sent0].set(0, mode="drop")
+            parent_slot = tree.parent_slot.at[sent0].set(NONE, mode="drop")
+            parent_action = tree.parent_action.at[sent0].set(a0, mode="drop")
+            next_free = tree.next_free + jnp.where(root_create, 1, 0)
+            is_t = iota == t
+            cur = jnp.where(is_t & starting & ~root_create, c0, cur)
+            nv = jnp.where(is_t, nv0, nv)
+            leaf = jnp.where(is_t & root_create, idx0, leaf)
+            created = created | (is_t & root_create)
+            tree = tree.replace(
+                root_virt=root_virt, virt0=virt0, root_child=root_child,
+                parent=parent, parent_slot=parent_slot,
+                parent_action=parent_action, next_free=next_free,
+            )
+
+            # --- advance every active cursor one level -----------------
+            active = cur != NONE
+            ci = jnp.maximum(cur, 0)
+            stop_here = active & ~tree.expanded[ci]
+            walking = active & ~stop_here
+            slots = self._select_edges(tree, cur, nv)
+            action = tree.edge_action[ci, slots]
+            child = tree.edge_child[ci, slots]
+            child_nv = tree.edge_n[ci, slots] + tree.edge_virt[ci, slots]
+            # mark the traversed edge's virtual loss (node.rs:33-38)
+            mrow = jnp.where(walking, ci, M)
+            edge_virt = tree.edge_virt.at[mrow, slots].add(1, mode="drop")
+
+            want_create = walking & (child == NONE)
+            ranks = jnp.cumsum(want_create.astype(jnp.int32)) - 1
+            ids = tree.next_free + ranks
+            ok_create = want_create & (ids < M)
+            idxv = jnp.where(ok_create, ids, M)
+            edge_child = tree.edge_child.at[
+                jnp.where(ok_create, ci, M), slots
+            ].set(idxv, mode="drop")
+            parent = tree.parent.at[idxv].set(cur, mode="drop")
+            parent_slot = tree.parent_slot.at[idxv].set(slots, mode="drop")
+            parent_action = tree.parent_action.at[idxv].set(action, mode="drop")
+            next_free = tree.next_free + jnp.sum(ok_create)
+            tree = tree.replace(
+                edge_virt=edge_virt, edge_child=edge_child, parent=parent,
+                parent_slot=parent_slot, parent_action=parent_action,
+                next_free=next_free,
+            )
+
+            # resolve cursors: stop at pending/terminal nodes, stop on
+            # fresh creations, re-eval the parent when the pool is full
+            stopping = stop_here | want_create
+            new_leaf = jnp.where(
+                stop_here, cur, jnp.where(ok_create, idxv, cur)
+            )
+            leaf = jnp.where(stopping & active, new_leaf, leaf)
+            created = created | ok_create
+            cur = jnp.where(stopping | ~active, NONE_V, child)
+            nv = jnp.where(stopping | ~active, nv, child_nv)
+            return (t + 1, tree, cur, nv, leaf, created)
+
+        init = (jnp.int32(0), tree, NONE_V, jnp.zeros(V, jnp.int32),
+                NONE_V, jnp.zeros(V, bool))
+        _, tree, _, _, leaf, created = jax.lax.while_loop(cond, body, init)
+        leaf = jnp.maximum(leaf, 0)  # unresolved (pathological) -> root
+        return tree, leaf, created
+
+    # -- wave-end evaluation application -----------------------------------
+
+    def _apply_wave(self, tree: Tree, leaves, created, leaf_states,
+                    leaf_results, policy, value):
+        """Write new nodes, expand, and run all V backups batched.
+
+        leaves/created: [V]; leaf_states: GameState with leading [V];
+        policy [V, A]; value [V].
+        """
+        V = leaves.shape[0]
+        M = self.config.max_nodes
+        A = self.engine.num_actions
+
+        # -- write states + results of created nodes (unique indices) ---
+        idx = jnp.where(created, leaves, M)
+        state = jax.tree.map(
+            lambda arr, upd: arr.at[idx].set(upd, mode="drop"),
+            tree.state, leaf_states,
         )
-        cur, status, cp, cs, ca = jax.lax.while_loop(loop_cond, loop_body, init)
+        result = tree.result.at[idx].set(leaf_results, mode="drop")
+        tree = tree.replace(state=state, result=result)
 
-        # materialize the new node if the descent stopped at an empty edge
-        def do_create(t: Tree):
-            idx = t.next_free
-            parent_state = jax.tree.map(lambda x: x[cp], t.state)
-            new_state = self.engine.step(parent_state, ca)
-            state = jax.tree.map(
-                lambda arr, leafv: arr.at[idx].set(leafv), t.state, new_state
-            )
-            from_root = cs == NONE
-            root_child = jnp.where(
-                from_root, t.root_child.at[ca].set(idx), t.root_child
-            )
-            edge_child = jnp.where(
-                from_root,
-                t.edge_child,
-                t.edge_child.at[cp, jnp.maximum(cs, 0)].set(idx),
-            )
-            return t.replace(
-                state=state,
-                result=t.result.at[idx].set(new_state.result),
-                parent=t.parent.at[idx].set(cp),
-                parent_action=t.parent_action.at[idx].set(ca),
-                root_child=root_child,
-                edge_child=edge_child,
-                next_free=idx + 1,
-            )
-
-        # pool-exhaustion guard: when the node budget is spent (possible
-        # only with an explicit small node_budget during open-ended
-        # pondering), fall back to re-evaluating the would-be parent
-        can_create = tree.next_free < self.config.max_nodes
-        created = (status == _CREATE) & can_create
-        new_idx = tree.next_free
-        tree = jax.lax.cond(created, do_create, lambda t: t, tree)
-        leaf = jnp.where(
-            created, new_idx, jnp.where(status == _CREATE, cp, cur)
+        # -- leaf values: terminal leaves use the anchored game outcome --
+        res = tree.result[leaves]
+        terminal = res != ONGOING
+        winner = result_winner(res)
+        term_val = jnp.where(
+            winner < 0, 0.0,
+            jnp.where(leaf_states.to_move == winner, 1.0, -1.0),
         )
+        values = jnp.where(terminal, term_val, value)
 
-        is_term = tree.result[leaf] != ONGOING
-        tree = jax.lax.cond(
-            is_term,
-            self._backup_concrete,
-            self._backup_virtual,
-            tree,
-            leaf,
-        )
-        return tree, leaf, ~is_term
-
-    # -- evaluation application ----------------------------------------------
-
-    def _expand_edges(self, tree: Tree, leaf, policy_row):
-        leaf_state = jax.tree.map(lambda x: x[leaf], tree.state)
-        legal = self.engine.legal_mask(leaf_state)
-        masked = jnp.where(legal, policy_row, -1.0)
-        vals, idx = jax.lax.top_k(masked, self.config.max_children)
+        # -- expansion, fully batched: every non-terminal non-root leaf
+        # row gets its top-K legal priors (duplicate pending leaves write
+        # identical rows; the root is expanded by prepare_root) ----------
+        legal_masks = jax.vmap(self.engine.legal_mask)(leaf_states)
+        masked = jnp.where(legal_masks, policy, -1.0)          # [V, A]
+        vals, aidx = jax.lax.top_k(masked, self.config.max_children)
         ok = vals >= 0.0
-        return tree.replace(
-            edge_action=tree.edge_action.at[leaf].set(
-                jnp.where(ok, idx, NONE)
+        rows = jnp.where(terminal | (leaves == 0), M, leaves)
+        tree = tree.replace(
+            edge_action=tree.edge_action.at[rows].set(
+                jnp.where(ok, aidx, NONE), mode="drop"
             ),
-            edge_prior=tree.edge_prior.at[leaf].set(jnp.where(ok, vals, 0.0)),
-            expanded=tree.expanded.at[leaf].set(True),
+            edge_prior=tree.edge_prior.at[rows].set(
+                jnp.where(ok, vals, 0.0), mode="drop"
+            ),
+            expanded=tree.expanded.at[rows].set(True, mode="drop"),
         )
 
-    def _expand_root(self, tree: Tree, policy_row):
-        root_state = jax.tree.map(lambda x: x[0], tree.state)
-        legal = self.engine.legal_mask(root_state)
-        return tree.replace(
-            root_prior=policy_row,
-            root_legal=legal,
-            expanded=tree.expanded.at[0].set(True),
-        )
+        # -- all V backups walk up in lockstep (mcts.rs:67-91 signs) -----
+        def walk_cond(carry):
+            cur, _sign, _t = carry
+            return jnp.any(cur != NONE)
 
-    def _apply_eval(self, tree: Tree, leaf, policy_row, value):
-        tree = jax.lax.cond(
-            leaf == 0,
-            lambda t: self._expand_root(t, policy_row),
-            lambda t: self._expand_edges(t, leaf, policy_row),
-            tree,
-        )
-        return self._backup_devirtualize(tree, leaf, value)
+        def walk_body(carry):
+            cur, sign, t = carry
+            alive = cur != NONE
+            ci = jnp.maximum(cur, 0)
+            p = t.parent[ci]
+            s = t.parent_slot[ci]
+            a = t.parent_action[ci]
+            # edge entry: parent's slot row, or the dense root arrays
+            is_root_edge = alive & (p == 0) & (s == NONE)
+            is_edge = alive & (p != NONE) & ~is_root_edge
+            ridx = jnp.where(is_root_edge, a, A)
+            erow = jnp.where(is_edge, p, M)
+            at_root = alive & (cur == 0)
+            t = t.replace(
+                root_n=t.root_n.at[ridx].add(1, mode="drop"),
+                root_virt=t.root_virt.at[ridx].add(-1, mode="drop"),
+                root_w=t.root_w.at[ridx].add(sign * values, mode="drop"),
+                edge_n=t.edge_n.at[erow, s].add(1, mode="drop"),
+                edge_virt=t.edge_virt.at[erow, s].add(-1, mode="drop"),
+                edge_w=t.edge_w.at[erow, s].add(sign * values, mode="drop"),
+                n0=t.n0 + jnp.sum(at_root),
+                virt0=t.virt0 - jnp.sum(at_root),
+            )
+            cur = jnp.where(alive, p, NONE)
+            return (cur, -sign, t)
 
-    # -- waves ----------------------------------------------------------------
+        _, _, tree = jax.lax.while_loop(
+            walk_cond, walk_body, (leaves, jnp.full(V, -1.0), tree)
+        )
+        return tree
+
+    # -- waves --------------------------------------------------------------
 
     def _wave(self, params, tree_b: Tree):
         V = self.config.wave_size
+        engine = self.engine
 
-        def descents(tree):
-            def one(t, _):
-                t, leaf, devirt = self._descend(t)
-                return t, (leaf, devirt)
+        tree_b, leaves, created = jax.vmap(self._descend_wave)(tree_b)  # [B, V]
 
-            tree, (leaves, devirts) = jax.lax.scan(one, tree, None, length=V)
-            return tree, leaves, devirts
+        # recompute every leaf's state with one batched env step:
+        # leaf = step(state[parent], parent_action); root leaf = root state
+        def leaf_states_one(tree, ls):
+            def one_leaf(leaf):
+                p = tree.parent[leaf]
+                a = tree.parent_action[leaf]
+                parent_state = jax.tree.map(
+                    lambda x: x[jnp.maximum(p, 0)], tree.state
+                )
+                stepped = engine.step(parent_state, jnp.maximum(a, 0))
+                root_state = jax.tree.map(lambda x: x[0], tree.state)
+                is_root = leaf == 0
+                return jax.tree.map(
+                    lambda a_, b_: jnp.where(is_root, b_, a_),
+                    stepped, root_state,
+                )
 
-        tree_b, leaves, devirts = jax.vmap(descents)(tree_b)  # [B, V]
+            return jax.vmap(one_leaf)(ls)
 
-        leaf_states = jax.vmap(
-            lambda t, ls: jax.tree.map(lambda x: x[ls], t.state)
-        )(tree_b, leaves)  # leading [B, V]
-        flat = jax.tree.map(
+        leaf_states = jax.vmap(leaf_states_one)(tree_b, leaves)  # [B, V, ...]
+        flat_states = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:]), leaf_states
         )
-        policy, value = self.eval_fn(params, flat)
+        policy, value = self.eval_fn(params, flat_states)
         B = leaves.shape[0]
         policy = policy.reshape(B, V, -1)
         value = value.reshape(B, V)
+        leaf_results = flat_states.result.reshape(B, V)
 
-        def apply_one_game(tree, leaves, devirts, policy, value):
-            def one(t, inp):
-                leaf, dv, prow, val = inp
-                t = jax.lax.cond(
-                    dv,
-                    lambda tt: self._apply_eval(tt, leaf, prow, val),
-                    lambda tt: tt,
-                    t,
-                )
-                return t, None
+        return jax.vmap(self._apply_wave)(
+            tree_b, leaves, created, leaf_states, leaf_results, policy, value
+        )
 
-            tree, _ = jax.lax.scan(one, tree, (leaves, devirts, policy, value))
-            return tree
-
-        return jax.vmap(apply_one_game)(tree_b, leaves, devirts, policy, value)
-
-    # -- public API ------------------------------------------------------------
+    # -- public API ----------------------------------------------------------
 
     @cached_property
     def prepare_root(self):
@@ -354,19 +378,22 @@ class MCTS:
         def run(params, tree_b: Tree):
             root_states = jax.tree.map(lambda x: x[:, 0], tree_b.state)
             policy, value = self.eval_fn(params, root_states)
+            legal = jax.vmap(self.engine.legal_mask)(root_states)
 
-            def per_game(tree, prow, val):
+            def per_game(tree, prow, lg):
                 def expand(t):
-                    t = self._expand_root(t, prow)
                     return t.replace(
-                        n=t.n.at[0].add(1), w=t.w.at[0].add(-val)
+                        root_prior=prow,
+                        root_legal=lg,
+                        expanded=t.expanded.at[0].set(True),
+                        n0=t.n0 + 1,
                     )
 
                 return jax.lax.cond(
                     tree.expanded[0], lambda t: t, expand, tree
                 )
 
-            return jax.vmap(per_game)(tree_b, policy, value)
+            return jax.vmap(per_game)(tree_b, policy, legal)
 
         return run
 
@@ -415,7 +442,9 @@ class MCTS:
 
             visits = jax.vmap(root_visit_counts)(tree_b)  # [B, A] int32
             greedy = jax.vmap(_argmax_last)(visits)
-            logits = jnp.where(visits > 0, jnp.log(visits.astype(jnp.float32)), -jnp.inf)
+            logits = jnp.where(
+                visits > 0, jnp.log(visits.astype(jnp.float32)), -jnp.inf
+            )
             sampled = jax.random.categorical(rng, logits, axis=-1)
             return jnp.where(exploit, greedy, sampled).astype(jnp.int32)
 

@@ -85,6 +85,9 @@ def test_visit_conservation():
     g = Game.from_ptn_moves(3, ["a3", "c3", "c2", "a2"])
     mcts = make_mcts(engine, 128, wave_size=4)
     tree = run_search(mcts, g)
-    n0 = int(tree.n[0, 0])
-    assert n0 == 128 + 1
-    assert int(jnp.sum(tree.virt)) == 0
+    assert int(tree.n0[0]) == 128 + 1
+    assert int(jnp.sum(tree.root_virt)) == 0
+    assert int(jnp.sum(tree.edge_virt)) == 0
+    assert int(tree.virt0[0]) == 0
+    # root children visits sum to the number of simulations
+    assert int(jnp.sum(tree.root_n)) == 128
