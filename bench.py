@@ -28,7 +28,7 @@ N = int(os.environ.get("BENCH_SIZE", 6))
 ENV_BATCH = int(os.environ.get("BENCH_ENV_BATCH", 8192))
 ENV_STEPS = int(os.environ.get("BENCH_ENV_STEPS", 64))
 MCTS_BATCH = int(os.environ.get("BENCH_MCTS_BATCH", 256))
-MCTS_SIMS = int(os.environ.get("BENCH_MCTS_SIMS", 1024))
+MCTS_SIMS = int(os.environ.get("BENCH_MCTS_SIMS", 512))
 MCTS_WAVE = int(os.environ.get("BENCH_MCTS_WAVE", 16))
 MCTS_K = int(os.environ.get("BENCH_MCTS_K", 64))
 
@@ -101,10 +101,10 @@ def bench_mcts(engine):
         tree = mcts.run_sims(variables, tree)
         return tree
 
-    jax.block_until_ready(run().n)  # compile
+    jax.block_until_ready(run().n0)  # compile
     t0 = time.perf_counter()
     tree = run()
-    jax.block_until_ready(tree.n)
+    jax.block_until_ready(tree.n0)
     dt = time.perf_counter() - t0
     sims = MCTS_BATCH * cfg.num_waves * cfg.wave_size
     return sims / dt
