@@ -1,0 +1,147 @@
+"""Search-tree reuse: re-root onto a played move's subtree.
+
+Equivalent of the reference's `Node::play` (alpha-tak/src/search/play.rs:
+26-43): after a move is played, the chosen child's subtree — node states,
+results, edge statistics, visit counts — carries over to the next search
+instead of being rediscovered from scratch.
+
+On-device formulation: mark nodes reachable from the new root (iterated
+child-relation closure), compact them to the front of the node pool with
+one permutation gather, remap parent/child links, and rebuild the dense
+root tier from the new root's edge rows.  The new root's full-width prior
+needs a fresh network evaluation (top-K edges only kept K priors); callers
+get that for free from the `prepare_root` they already run per move — here
+the root is left unexpanded with its statistics intact, and
+`prepare_root_keep_stats` fills in the prior.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .tree import NONE, Tree
+
+
+def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tree:
+    """Single-game re-root of `tree` onto root action `action`.
+
+    `new_root_state` is the played position (unbatched GameState); it is
+    written to node 0 unconditionally, so if the action's child was never
+    materialized the result degrades to a fresh tree at that position.
+    `prepare_root` must still run afterwards (it re-evaluates the
+    full-width root prior; the kept edges only stored K of them).
+    """
+    M = tree.result.shape[0]
+    A = tree.root_prior.shape[0]
+    K = max_children
+
+    c0 = tree.root_child[action]
+    has_subtree = c0 != NONE
+    c0i = jnp.maximum(c0, 0)
+
+    # --- reachability from c0 (children closure, <= M doubling steps) ---
+    reach = jnp.zeros(M, bool).at[c0i].set(has_subtree)
+    # each iteration pushes reachability one level deeper; tree depth is
+    # bounded by the number of plies simulated, itself < M; use log-free
+    # fixed M iterations? depth <= M but practically small: iterate until
+    # fixpoint via while_loop on change.
+
+    def cond(carry):
+        reach, changed = carry
+        return changed
+
+    def body(carry):
+        reach, _ = carry
+        child_ok = tree.edge_child != NONE                  # [M, K]
+        parent_reach = reach[:, None] & child_ok
+        new = reach.at[
+            jnp.where(parent_reach, tree.edge_child, M)
+        ].set(True, mode="drop")
+        return new, jnp.any(new != reach)
+
+    reach, _ = jax.lax.while_loop(cond, body, (reach, has_subtree))
+
+    # --- compaction permutation: new_id = rank among reachable ----------
+    ranks = jnp.cumsum(reach.astype(jnp.int32)) - 1
+    new_id_of = jnp.where(reach, ranks, NONE)               # [M]
+    # force the new root to index 0 by swapping with whoever ranks 0
+    c0_rank = new_id_of[c0i]
+    swap = lambda ids: jnp.where(
+        ids == c0_rank, 0, jnp.where(ids == 0, c0_rank, ids)
+    )
+    new_id_of = jnp.where(reach, swap(new_id_of), NONE)
+    n_reach = jnp.sum(reach.astype(jnp.int32))
+
+    # gather order: old index that lands at each new slot
+    old_of_new = jnp.full(M, 0, jnp.int32).at[
+        jnp.where(reach, new_id_of, M)
+    ].set(jnp.arange(M, dtype=jnp.int32), mode="drop")
+
+    def remap_node_ref(arr):  # values that are node indices
+        return jnp.where(arr == NONE, NONE, new_id_of[jnp.maximum(arr, 0)])
+
+    def reorder(arr):  # leading M axis
+        return arr[old_of_new]
+
+    state = jax.tree.map(reorder, tree.state)
+    # node 0 must hold the played position (degrades to a fresh tree when
+    # the played action had no materialized child)
+    state = jax.tree.map(
+        lambda arr, leafv: arr.at[0].set(leafv), state, new_root_state
+    )
+    new_parent = remap_node_ref(reorder(tree.parent))
+    new_parent_slot = reorder(tree.parent_slot)
+    # children of the new root route their backups through the dense root
+    # tier (walk dispatches on parent==0 & slot==NONE)
+    new_parent_slot = jnp.where(new_parent == 0, NONE, new_parent_slot)
+    new_tree = tree.replace(
+        state=state,
+        result=reorder(tree.result).at[0].set(new_root_state.result),
+        parent=new_parent,
+        parent_slot=new_parent_slot,
+        parent_action=reorder(tree.parent_action),
+        expanded=reorder(tree.expanded) & reach[old_of_new],
+        edge_action=reorder(tree.edge_action),
+        edge_prior=reorder(tree.edge_prior),
+        edge_child=remap_node_ref(reorder(tree.edge_child)),
+        edge_n=reorder(tree.edge_n),
+        edge_virt=reorder(tree.edge_virt),
+        edge_w=reorder(tree.edge_w),
+        next_free=jnp.maximum(n_reach, 1),
+    )
+
+    # --- rebuild the dense root tier from the new root's edge row -------
+    acts = new_tree.edge_action[0]                          # [K]
+    valid = (acts != NONE) & has_subtree
+    aidx = jnp.where(valid, acts, A)
+    root_n = jnp.zeros(A, jnp.int32).at[aidx].set(
+        new_tree.edge_n[0], mode="drop")
+    root_w = jnp.zeros(A, jnp.float32).at[aidx].set(
+        new_tree.edge_w[0], mode="drop")
+    root_child = jnp.full(A, NONE, jnp.int32).at[aidx].set(
+        new_tree.edge_child[0], mode="drop")
+    # the old root tier held this child's totals at `action`
+    n0 = jnp.where(has_subtree, tree.root_n[action], 0)
+
+    # root node slot 0: clear its parent linkage and mark unexpanded so
+    # prepare_root_keep_stats re-evaluates the full-width prior
+    new_tree = new_tree.replace(
+        parent=new_tree.parent.at[0].set(NONE),
+        parent_slot=new_tree.parent_slot.at[0].set(NONE),
+        parent_action=new_tree.parent_action.at[0].set(NONE),
+        expanded=new_tree.expanded.at[0].set(False),
+        root_prior=jnp.zeros(A, jnp.float32),
+        root_legal=jnp.zeros(A, bool),
+        root_n=root_n,
+        root_virt=jnp.zeros(A, jnp.int32),
+        root_w=root_w,
+        root_child=root_child,
+        n0=n0,
+        virt0=jnp.int32(0),
+    )
+
+    # clear edge rows of node 0 beyond... they are the subtree's rows and
+    # stay valid for continuation display; selection goes through the
+    # dense root tier.
+    return new_tree

@@ -280,13 +280,25 @@ class MCTS:
         masked = jnp.where(legal_masks, policy, -1.0)          # [V, A]
         vals, aidx = jax.lax.top_k(masked, self.config.max_children)
         ok = vals >= 0.0
-        rows = jnp.where(terminal | (leaves == 0), M, leaves)
+        # never rewrite an already-expanded node (pool-full fallback leaves)
+        rows = jnp.where(
+            terminal | (leaves == 0) | tree.expanded[leaves], M, leaves
+        )
+        zero_i = jnp.zeros((V, self.config.max_children), jnp.int32)
+        zero_f = jnp.zeros((V, self.config.max_children), jnp.float32)
         tree = tree.replace(
             edge_action=tree.edge_action.at[rows].set(
                 jnp.where(ok, aidx, NONE), mode="drop"
             ),
             edge_prior=tree.edge_prior.at[rows].set(
                 jnp.where(ok, vals, 0.0), mode="drop"
+            ),
+            # clear stats rows: node slots may be recycled by re-rooting
+            edge_n=tree.edge_n.at[rows].set(zero_i, mode="drop"),
+            edge_virt=tree.edge_virt.at[rows].set(zero_i, mode="drop"),
+            edge_w=tree.edge_w.at[rows].set(zero_f, mode="drop"),
+            edge_child=tree.edge_child.at[rows].set(
+                jnp.full_like(zero_i, NONE), mode="drop"
             ),
             expanded=tree.expanded.at[rows].set(True, mode="drop"),
         )

@@ -53,6 +53,11 @@ class Player:
             node_budget=node_budget,
         )
         self.mcts = MCTS(engine, eval_fn, cfg)
+        from .mcts.reuse import reroot
+
+        self._reroot = jax.jit(jax.vmap(
+            lambda t, a, s: reroot(engine, t, a, s, max_children)
+        ))
         self.save_examples = save_examples
         self.examples: list[Example] = []
         self.analysis = Analysis(
@@ -67,7 +72,11 @@ class Player:
         if self.tree is None:
             states = jax.tree.map(lambda x: x[None], self.game.state)
             self.tree = self.mcts.init_batch(states)
+            self._root_prepared = False
+        if not getattr(self, "_root_prepared", False):
+            # evaluates the root's full-width prior; no-op if expanded
             self.tree = self.mcts.prepare_root(self.params, self.tree)
+            self._root_prepared = True
             self.sims_done = 0
 
     def rollout(self, waves: int = 1) -> int:
@@ -128,7 +137,14 @@ class Player:
             self.analysis.add_move_without_info(ptn)
 
         self.game.play_action(action, check=False)
-        self.tree = None  # re-root by rebuilding at the new position
+        if self.tree is not None:
+            # keep the played subtree (search/play.rs:26-43); prepare_root
+            # restores the full-width prior on the next rollout
+            new_states = jax.tree.map(lambda x: x[None], self.game.state)
+            self.tree = self._reroot(
+                self.tree, jnp.array([action]), new_states
+            )
+            self._root_prepared = False
 
     # -- results -------------------------------------------------------------
 

@@ -51,6 +51,7 @@ class SelfPlayConfig:
     noise_plies: int = 80
     exploit_plies: int = 40
     instant_win_scan: bool = True
+    tree_reuse: bool = True      # keep the played subtree (play.rs:26-43)
     max_plies: int = 400         # safety valve for pathological games
 
 
@@ -58,7 +59,16 @@ class SelfPlayActor:
     def __init__(self, engine: Engine, eval_fn, config: SelfPlayConfig):
         self.engine = engine
         self.config = config
-        self.mcts = MCTS(engine, eval_fn, config.search)
+        search = config.search
+        if config.tree_reuse and search.node_budget is None:
+            # carried subtree (< num_sims nodes) + one move's simulations
+            import dataclasses
+
+            search = dataclasses.replace(
+                search, node_budget=2 * search.num_sims + 2
+            )
+        self.search_config = search
+        self.mcts = MCTS(engine, eval_fn, search)
 
     # -- jitted helpers ------------------------------------------------------
 
@@ -96,6 +106,61 @@ class SelfPlayActor:
         return run
 
     @cached_property
+    def _reroot_batch(self):
+        from .mcts.reuse import reroot
+
+        k = self.search_config.max_children
+
+        @jax.jit
+        def run(tree, actions, states):
+            return jax.vmap(
+                lambda t, a, s: reroot(self.engine, t, a, s, k)
+            )(tree, actions, states)
+
+        return run
+
+    @cached_property
+    def _masked_tree_reset(self):
+        """Blank per-game trees in place (fresh root at `states`)."""
+        from .mcts.tree import NONE
+
+        @jax.jit
+        def run(tree, states, mask):
+            mrow = mask[:, None]
+
+            def set0(arr, val):  # write slot 0 of a [B, M, ...] array
+                upd = jnp.where(
+                    mask.reshape((-1,) + (1,) * (val.ndim - 1)),
+                    val, arr[:, 0],
+                )
+                return arr.at[:, 0].set(upd)
+
+            state = jax.tree.map(set0, tree.state, states)
+            zero_like = lambda a: jnp.where(
+                mask.reshape((-1,) + (1,) * (a.ndim - 1)),
+                jnp.zeros_like(a), a,
+            )
+            return tree.replace(
+                state=state,
+                result=set0(tree.result, states.result),
+                parent=tree.parent.at[:, 0].set(
+                    jnp.where(mask, NONE, tree.parent[:, 0])
+                ),
+                expanded=jnp.where(mrow, False, tree.expanded),
+                root_prior=zero_like(tree.root_prior),
+                root_legal=zero_like(tree.root_legal),
+                root_n=zero_like(tree.root_n),
+                root_virt=zero_like(tree.root_virt),
+                root_w=zero_like(tree.root_w),
+                root_child=jnp.where(mask[:, None], NONE, tree.root_child),
+                n0=jnp.where(mask, 0, tree.n0),
+                virt0=jnp.where(mask, 0, tree.virt0),
+                next_free=jnp.where(mask, 1, tree.next_free),
+            )
+
+        return run
+
+    @cached_property
     def _batched_wins(self):
         return jax.jit(jax.vmap(self.engine.wins_in_one))
 
@@ -124,6 +189,8 @@ class SelfPlayActor:
         jrng = jax.random.PRNGKey(seed)
 
         states = engine.initial_batch(B, 2 * cfg.komi)
+        tree = None                     # persistent across moves (reuse)
+        tree_stale = np.ones(B, bool)   # slots whose tree must be blanked
         pending: list[list[Example]] = [[] for _ in range(B)]
         active = np.ones(B, bool)
         started = B
@@ -186,12 +253,20 @@ class SelfPlayActor:
                         states = self._masked_reset(states, jnp.asarray(reset_mask))
                     else:
                         active &= ~reset_mask
+                    tree_stale |= reset_mask
                     if not active.any():
                         break
                     continue  # fresh boards get openings next iteration
 
-            # batched search
-            tree = self.mcts.init_batch(states)
+            # batched search (trees persist across moves when reuse is on)
+            if tree is None or not cfg.tree_reuse:
+                tree = self.mcts.init_batch(states)
+                tree_stale[:] = False
+            elif tree_stale.any():
+                tree = self._masked_tree_reset(
+                    tree, states, jnp.asarray(tree_stale)
+                )
+                tree_stale[:] = False
             tree = self.mcts.prepare_root(params, tree)
             noise_mask = jnp.asarray((plies < cfg.noise_plies) & active)
             jrng, k1, k2 = jax.random.split(jrng, 3)
@@ -223,6 +298,9 @@ class SelfPlayActor:
             # play the chosen moves
             states = self._masked_step(states, actions, jnp.asarray(active))
             results = np.asarray(states.result)
+            if cfg.tree_reuse:
+                # carry each game's played subtree into the next search
+                tree = self._reroot_batch(tree, actions, states)
             new_plies = np.asarray(states.ply)
 
             reset_mask = np.zeros(B, bool)
@@ -238,6 +316,7 @@ class SelfPlayActor:
                     log(f"game {completed}/{cfg.games} done "
                         f"({new_plies[i]} plies, result {int(results[i])})")
             if reset_mask.any():
+                tree_stale |= reset_mask
                 if started < cfg.games:
                     started += int(reset_mask.sum())
                     states = self._masked_reset(states, jnp.asarray(reset_mask))

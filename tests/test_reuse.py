@@ -1,0 +1,113 @@
+"""Tree-reuse (re-rooting) correctness (search/play.rs:26-43 capability)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tak_tpu.engine.core import get_engine
+from tak_tpu.game import Game
+from tak_tpu.mcts.reuse import reroot
+from tak_tpu.mcts.search import MCTS, SearchConfig
+from tak_tpu.mcts.tree import NONE, root_visit_counts
+from tak_tpu.player import Player
+from tak_tpu.types import ONGOING, WHITE_ROAD
+
+
+def dummy_eval(engine):
+    A = engine.num_actions
+
+    def eval_fn(params, states):
+        b = states.ply.shape[0]
+        return jnp.ones((b, A), jnp.float32), jnp.zeros(b, jnp.float32)
+
+    return eval_fn
+
+
+def test_reroot_preserves_subtree_stats():
+    engine = get_engine(3)
+    cfg = SearchConfig(num_sims=256, wave_size=4, max_children=32,
+                       node_budget=1024)
+    mcts = MCTS(engine, dummy_eval(engine), cfg)
+    g = Game.from_ptn_moves(3, ["a3", "c3", "c2"])
+    states = jax.tree.map(lambda x: x[None], g.state)
+    tree = mcts.init_batch(states)
+    tree = mcts.prepare_root(None, tree)
+    tree = mcts.run_sims(None, tree)
+
+    visits = np.asarray(jax.vmap(root_visit_counts)(tree))[0]
+    action = int(len(visits) - 1 - np.argmax(visits[::-1]))
+    child = int(tree.root_child[0, action])
+    assert child != NONE
+    child_edge_n = np.asarray(tree.edge_n[0, child]).copy()
+    child_edge_acts = np.asarray(tree.edge_action[0, child]).copy()
+    child_total = int(visits[action])
+
+    g2 = g.clone()
+    g2.play_action(action, check=False)
+    new_states = jax.tree.map(lambda x: x[None], g2.state)
+    new_tree = jax.vmap(
+        lambda t, a, s: reroot(engine, t, a, s, cfg.max_children)
+    )(tree, jnp.array([action]), new_states)
+
+    # the new root's per-action visit counts equal the old child's edges
+    new_visits = np.asarray(new_tree.root_n[0])
+    for act, n in zip(child_edge_acts, child_edge_n):
+        if act != NONE:
+            assert new_visits[act] == n, (act, n)
+    assert int(new_tree.n0[0]) == child_total
+    assert int(new_tree.next_free[0]) <= int(tree.next_free[0])
+    # new root state is the played position
+    assert int(new_tree.state.ply[0, 0]) == g2.ply
+    # searching on the re-rooted tree still works and accumulates
+    new_tree = mcts.prepare_root(None, new_tree)
+    new_tree = mcts.run_sims(None, new_tree)
+    assert int(new_tree.n0[0]) == child_total + 1 + cfg.num_sims
+
+
+def test_player_reuse_win_in_two():
+    """prevent_win_in_two with tree reuse across moves (tests.rs:52-72)."""
+    engine = get_engine(3)
+    g = Game.from_ptn_moves(3, ["a3", "c3", "c2"])
+    player = Player(engine, dummy_eval(engine), None, g,
+                    wave_size=8, max_children=32, node_budget=4096)
+    for _ in range(125):
+        player.rollout()
+    mv = player.pick_move(True)
+    player.play_move(mv)
+    assert player.game.result == ONGOING
+    for _ in range(125):
+        player.rollout()
+    player.play_move(player.pick_move(True))
+    assert player.game.result == ONGOING
+
+
+def test_reroot_unvisited_action_degrades_to_fresh():
+    engine = get_engine(3)
+    cfg = SearchConfig(num_sims=16, wave_size=4, max_children=32,
+                       node_budget=256)
+    mcts = MCTS(engine, dummy_eval(engine), cfg)
+    g = Game(3)
+    states = jax.tree.map(lambda x: x[None], g.state)
+    tree = mcts.init_batch(states)
+    tree = mcts.prepare_root(None, tree)
+    tree = mcts.run_sims(None, tree)
+    # pick a legal action with no materialized child
+    child = np.asarray(tree.root_child[0])
+    legal = np.asarray(tree.root_legal[0])
+    cand = [a for a in np.nonzero(legal)[0] if child[a] == NONE]
+    if not cand:  # every action explored; nothing to test
+        return
+    action = int(cand[0])
+    g2 = g.clone()
+    g2.play_action(action, check=False)
+    new_states = jax.tree.map(lambda x: x[None], g2.state)
+    new_tree = jax.vmap(
+        lambda t, a, s: reroot(engine, t, a, s, cfg.max_children)
+    )(tree, jnp.array([action]), new_states)
+    assert int(new_tree.next_free[0]) == 1
+    assert int(new_tree.n0[0]) == 0
+    assert not bool(new_tree.expanded[0, 0])
+    # still searchable
+    new_tree = mcts.prepare_root(None, new_tree)
+    new_tree = mcts.run_sims(None, new_tree)
+    assert int(new_tree.n0[0]) == 1 + cfg.num_sims
