@@ -77,15 +77,24 @@ class Game:
             if self.result != ONGOING:
                 raise IllegalMove("game is over")
             if not self.legal_mask()[action]:
-                raise IllegalMove(
-                    f"illegal move {self.engine.tables.action_to_ptn(action)}"
-                )
+                from .errors import diagnose
+
+                move = self.engine.tables.action_to_move(action)
+                why = diagnose(self, move)
+                reason = f": {why.value}" if why else ""
+                raise IllegalMove(f"illegal move {move}{reason}")
         self.state = self.engine.step_1(self.state, action)
 
     def play(self, move, check: bool = True) -> None:
         if isinstance(move, str):
             move = parse_move(move)
         if isinstance(move, Move):
+            if not (0 <= move.row < self.n and 0 <= move.col < self.n):
+                from .errors import PlayError
+
+                raise IllegalMove(
+                    f"illegal move {move}: {PlayError.OUT_OF_BOUNDS.value}"
+                )
             move = self.engine.tables.move_to_action(move)
         self.play_action(int(move), check)
 
