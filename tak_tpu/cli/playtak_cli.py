@@ -26,6 +26,8 @@ def build_parser():
     p.add_argument("--host", default="playtak.com")
     p.add_argument("--port", type=int, default=10000)
     p.add_argument("--max-games", type=int, default=None)
+    p.add_argument("--log-file", default="playtak.log",
+                   help="append bot activity here (playtak/src/main.rs:39)")
     p.add_argument("--cpu", action="store_true")
     return p
 
@@ -58,12 +60,25 @@ def main(argv=None):
         initial_time=args.initial_time, increment=args.increment,
         start_as_black=args.start_as_black,
     ))
+    import time as _time
+
+    logf = open(args.log_file, "a") if args.log_file else None
+
+    def log(msg):
+        line = f"[{_time.strftime('%Y-%m-%d %H:%M:%S')}] {msg}"
+        print(line)
+        if logf:
+            logf.write(line + "\n")
+            logf.flush()
+
     transport = TcpTransport(args.host, args.port, timeout=0.2)
     try:
-        bot.run(transport, args.username, args.password,
+        bot.run(transport, args.username, args.password, log=log,
                 max_games=args.max_games)
     finally:
         transport.close()
+        if logf:
+            logf.close()
 
 
 if __name__ == "__main__":
