@@ -346,8 +346,11 @@ class Engine:
 
     # -- step ----------------------------------------------------------------
 
-    def step(self, state: GameState, action) -> GameState:
-        """Apply one action (assumed legal).  No-op on finished games.
+    def step(self, state: GameState, action, enabled=None) -> GameState:
+        """Apply one action (assumed legal).  No-op on finished games and,
+        if `enabled` is given, on disabled games (folding the caller's
+        mask into the existing freeze select compiles ~100x faster on
+        this backend than wrapping the step in a second where).
 
         Scatter-free formulation: every square decides its own update from
         the decoded action (distance along the spread ray via PATH_DIST),
@@ -453,8 +456,10 @@ class Engine:
         )
         new = new.replace(result=self.compute_result(new))
 
-        # finished games are frozen
+        # finished games (and mask-disabled games) are frozen
         done = state.result != ONGOING
+        if enabled is not None:
+            done = done | ~enabled
         return jax.tree.map(
             lambda old_leaf, new_leaf: jnp.where(done, old_leaf, new_leaf), state, new
         )
@@ -494,6 +499,11 @@ class Engine:
 
     @cached_property
     def batched_step(self):
+        return jax.jit(jax.vmap(lambda s, a: self.step(s, a)))
+
+    @cached_property
+    def batched_step_masked(self):
+        """Step where `enabled`; frozen elsewhere (fast-compiling mask)."""
         return jax.jit(jax.vmap(self.step))
 
     @cached_property

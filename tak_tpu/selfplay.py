@@ -74,18 +74,7 @@ class SelfPlayActor:
 
     @cached_property
     def _masked_step(self):
-        @jax.jit
-        def run(states: GameState, actions, mask):
-            stepped = self.engine.batched_step(states, actions)
-            return jax.tree.map(
-                lambda new, old: jnp.where(
-                    mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
-                ),
-                stepped,
-                states,
-            )
-
-        return run
+        return self.engine.batched_step_masked
 
     @cached_property
     def _masked_reset(self):

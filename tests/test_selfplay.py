@@ -1,0 +1,57 @@
+"""Self-play actor behavior with a dummy network (offline, 3x3)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tak_tpu.engine.core import get_engine
+from tak_tpu.examples import example_to_line, line_to_example
+from tak_tpu.mcts.search import SearchConfig
+from tak_tpu.selfplay import SelfPlayActor, SelfPlayConfig
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return get_engine(3)
+
+
+def dummy_eval(engine):
+    A = engine.num_actions
+
+    def eval_fn(params, states):
+        b = states.ply.shape[0]
+        return jnp.ones((b, A), jnp.float32), jnp.zeros(b, jnp.float32)
+
+    return eval_fn
+
+
+@pytest.mark.parametrize("reuse", [True, False], ids=["reuse", "fresh"])
+def test_selfplay_generation(engine, reuse):
+    cfg = SelfPlayConfig(
+        games=3, workers=2, komi=0,
+        search=SearchConfig(num_sims=48, wave_size=4, max_children=32),
+        noise_plies=10, exploit_plies=6, tree_reuse=reuse,
+    )
+    actor = SelfPlayActor(engine, dummy_eval(engine), cfg)
+    examples = actor.run(None, seed=5, log=lambda m: None)
+    assert examples, "no examples produced"
+    for ex in examples:
+        assert ex.result in (-1.0, 0.0, 1.0)
+        assert ex.visits.sum() > 0
+        # codec round-trip
+        line = example_to_line(engine, ex)
+        back = line_to_example(engine, line)
+        assert np.array_equal(back.actions, ex.actions)
+        assert np.array_equal(back.visits, ex.visits)
+        assert back.result == ex.result
+    # opening moves are never recorded as examples (self_play.rs:110-117)
+    assert all(int(ex.state["ply"]) >= 2 for ex in examples)
+
+
+def test_masked_step_freezes(engine):
+    states = engine.initial_batch(4, 0)
+    acts = jnp.zeros(4, jnp.int32)
+    mask = jnp.array([True, False, True, False])
+    stepped = engine.batched_step_masked(states, acts, mask)
+    plies = np.asarray(stepped.ply)
+    assert plies.tolist() == [1, 0, 1, 0]
