@@ -55,7 +55,11 @@ def parse_ptn(engine: Engine, text: str):
 
     body = _OPTIONS_RE.sub("", text)
     body = _COMMENTS_RE.sub("", body)
-    moves = [parse_move(tok) for tok in _PLY_SPLIT_RE.split(body) if tok]
+    moves = [
+        parse_move(tok.rstrip("?!'*"))  # strip annotation marks (e.g. d3<?)
+        for tok in _PLY_SPLIT_RE.split(body)
+        if tok
+    ]
     return state, moves
 
 
