@@ -276,6 +276,16 @@ class Tables:
         self.sym_square_inv = np.argsort(sym_sq, axis=1).astype(np.int32)
         self.sym_action_inv = np.argsort(sym_act, axis=1).astype(np.int32)
 
+        # symmetry over the legacy move list (closed under D4: geometric
+        # fit is symmetric), for the dense Net5-style policy head
+        L = len(self.legacy_actions)
+        legacy_sym = inv[sym_act[:, self.legacy_actions]]  # [8, L]
+        assert (legacy_sym >= 0).all()
+        self.legacy_sym_action = legacy_sym.astype(np.int32)
+        self.legacy_sym_action_inv = np.argsort(legacy_sym, axis=1).astype(
+            np.int32
+        )
+
     # --- host-side move <-> action id -------------------------------------
     def move_to_action(self, m: Move) -> int:
         n = self.n

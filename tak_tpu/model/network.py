@@ -70,10 +70,25 @@ class Network:
 
     @cached_property
     def _policy_eval(self):
+        dense = self.config.policy_head == "dense"
+        if dense:
+            # numpy (not jnp): this property may first be touched inside an
+            # outer jit trace, where jnp.asarray would become a tracer and
+            # leak out of scope via the closure
+            legacy = self.engine.tables.legacy_actions
+            A = self.engine.num_actions
+
         @jax.jit
         def run(variables, planes):
             logits, value = self.model.apply(variables, planes, train=False)
-            return jax.nn.softmax(logits, axis=-1), value
+            probs = jax.nn.softmax(logits, axis=-1)
+            if dense:
+                # scatter the legacy-list softmax into the channel-scheme
+                # action space the search consumes (moves outside the
+                # legacy list are geometrically impossible -> prior 0)
+                full = jnp.zeros((probs.shape[0], A), probs.dtype)
+                probs = full.at[:, legacy].set(probs)
+            return probs, value
 
         return run
 
@@ -102,7 +117,10 @@ class Network:
         """[B,...] -> [8B,...] via the D4 group, on device (example.rs:62)."""
         n = self.engine.n
         sq_inv = jnp.asarray(self.engine.tables.sym_square_inv)   # [8, n*n]
-        act_inv = jnp.asarray(self.engine.tables.sym_action_inv)  # [8, A]
+        if self.config.policy_head == "dense":
+            act_inv = jnp.asarray(self.engine.tables.legacy_sym_action_inv)
+        else:
+            act_inv = jnp.asarray(self.engine.tables.sym_action_inv)  # [8, A]
         B = planes.shape[0]
         flat = planes.reshape(B, n * n, -1)
 
@@ -184,13 +202,21 @@ class Network:
         grad_acc = jax.tree.map(jnp.zeros_like, params)
 
         A = self.config.policy_size
+        legacy = (jnp.asarray(self.engine.tables.legacy_actions)
+                  if self.config.policy_head == "dense" else None)
         order = rng.permutation(len(examples))
         n_chunks = len(examples) // chunk_size
         for i in range(n_chunks):
             idx = order[i * chunk_size : (i + 1) * chunk_size]
             chunk = [examples[j] for j in idx]
             planes = self.observe_batch(stack_states(chunk))
-            pi = jnp.asarray(np.stack([e.policy_dense(A) for e in chunk]))
+            if legacy is not None:
+                full = np.stack(
+                    [e.policy_dense(self.engine.num_actions) for e in chunk]
+                )
+                pi = jnp.asarray(full)[:, legacy]  # channel ids -> legacy list
+            else:
+                pi = jnp.asarray(np.stack([e.policy_dense(A) for e in chunk]))
             z = jnp.asarray(np.array([e.result for e in chunk], np.float32))
             grad_acc, batch_stats, lp, lz = self._accum_chunk(
                 params, batch_stats, grad_acc, planes, pi, z
