@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pit-rollouts", type=int, default=800)
     p.add_argument("--generations", type=int, default=None,
                    help="stop after N generations (default: run forever)")
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="training chunk size (default 500, network.rs:19)")
+    p.add_argument("--chunks-in-step", type=int, default=None,
+                   help="chunks per optimizer step (default 20)")
     p.add_argument("--workdir", default=".")
     p.add_argument("--filters", type=int, default=128)
     p.add_argument("--blocks", type=int, default=None,
@@ -97,6 +101,13 @@ def main(argv=None):
         generations=args.generations,
         workdir=args.workdir,
     )
+    if args.chunk_size or args.chunks_in_step:
+        import functools
+
+        network.train = functools.partial(
+            network.train, chunk_size=args.chunk_size,
+            chunks_in_step=args.chunks_in_step,
+        )
     training_loop(engine, network, variables, buffer, cfg, seed=args.seed)
 
 
