@@ -1,0 +1,46 @@
+"""Instant-win scan correctness (self_play.rs:119-137 capability)."""
+
+import jax
+import numpy as np
+
+from tak_tpu.game import Game
+from tak_tpu.types import ONGOING, result_winner
+
+
+def _brute_force_wins(game):
+    """Reference semantics: try every legal move, keep mover's wins."""
+    wins = np.zeros(game.engine.num_actions, bool)
+    for a in game.legal_actions():
+        clone = game.clone()
+        clone.play_action(int(a), check=False)
+        w = int(result_winner(clone.state.result))
+        if w == game.to_move:
+            wins[a] = True
+    return wins
+
+
+def test_win_in_one_road():
+    g = Game.from_ptn_moves(3, ["a3", "c3", "c2", "a2"])
+    wins = np.asarray(g.engine.wins_in_one(g.state))
+    brute = _brute_force_wins(g)
+    assert np.array_equal(wins, brute)
+    assert wins.sum() >= 1  # c1 completes the white road
+    assert wins[g.engine.tables.ptn_to_action("c1")]
+
+
+def test_no_win_available():
+    g = Game.from_ptn_moves(5, ["a1", "e5", "c3"])
+    wins = np.asarray(g.engine.wins_in_one(g.state))
+    assert not wins.any()
+
+
+def test_flat_count_win_detected():
+    # filling the last square triggers a flat-count result for the mover
+    g = Game.from_ptn_moves(3, ["a3", "c1", "c2", "c3", "b3", "b2", "b1",
+                                "a1"])
+    assert g.result == ONGOING
+    wins = np.asarray(g.engine.wins_in_one(g.state))
+    brute = _brute_force_wins(g)
+    assert np.array_equal(wins, brute)
+    # white places a2 -> board full, white up on flats (wins.rs:17-24)
+    assert wins[g.engine.tables.ptn_to_action("a2")]
