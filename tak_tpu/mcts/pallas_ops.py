@@ -1,0 +1,659 @@
+"""Fused Pallas TPU kernels for the MCTS hot loops.
+
+Motivation (measured on this backend, see docs/ROADMAP.md): every XLA
+kernel dispatch costs ~100µs regardless of size, and the descent/backup
+`lax.while_loop`s in `mcts/search.py` issue ~30 tiny ops per tree level
+per wave.  These kernels collapse a whole wave's worth of tree walking
+into ONE kernel launch per wave: the grid iterates over games, each
+program DMAs its game's entire tree into VMEM, runs the wave's descents
+(and, in the backup kernel, all value backups) sequentially in-register,
+and writes the mutated arrays back.
+
+Semantics are identical to the XLA implementation (`MCTS._descend_wave` /
+`MCTS._apply_wave` backup loop), which mirrors the reference
+`alpha-tak/src/search/mcts.rs`:
+
+  * PUCT with C(N) = ln((1+N+base)/base) + init, virtual-visit-as-loss Q,
+    last-max tie-breaking (mcts.rs:7-12,94-118, node.rs:33-38);
+  * descents run sequentially, so descent v sees every virtual mark made
+    by descents < v — the XLA path's staggered pipeline guarantees the
+    same visibility, so trees agree exactly up to the order node indices
+    are allocated in (and bitwise when wave_size == 1);
+  * backups convert one virtual visit to a real visit per edge on the
+    path and add the sign-alternating value (mcts.rs:67-91).
+
+Layout notes: per-node scalar arrays ([M] links, expanded flags) are
+reshaped to (ceil(M/128), 128) so single-element reads/writes are a
+(1, 128) row blend; root arrays ([A]) are padded to (ceil(A/128), 128)
+so the per-descent PUCT sweep uses full 8x128 VPU tiles.
+
+VMEM budget: the whole per-game tree must fit (edge tier dominates at
+6 * M * K * 4 bytes).  `fits_in_vmem` gates automatic use; callers fall
+back to the XLA path for bigger trees.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .tree import NONE, Tree
+
+LANES = 128
+_NEG_INF = float("-inf")
+
+# VMEM per core is ~16MB less double-buffering headroom; leave slack for
+# the pipeline's two in-flight game blocks.
+VMEM_BUDGET_BYTES = 5 * 1024 * 1024
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def tree_vmem_bytes(max_nodes: int, k: int, num_actions: int) -> int:
+    """Approximate per-game VMEM footprint of one kernel invocation."""
+    kp = _cdiv(k, LANES) * LANES  # lanes are padded to 128
+    edge = 6 * max_nodes * kp * 4
+    root = 7 * _cdiv(num_actions, LANES) * LANES * 4
+    node = 5 * _cdiv(max_nodes, LANES) * LANES * 4
+    return edge + root + node
+
+
+def fits_in_vmem(max_nodes: int, k: int, num_actions: int) -> bool:
+    return tree_vmem_bytes(max_nodes, k, num_actions) <= VMEM_BUDGET_BYTES
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _flat_iota(rows, lanes):
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+    return r * lanes + c
+
+
+def _read_flat(ref, idx):
+    """Scalar read from a (R, 128)-reshaped flat int array at flat `idx`."""
+    r = idx // LANES
+    l = idx - r * LANES
+    row = ref[pl.ds(r, 1), :]
+    return jnp.sum(jnp.where(_lane_iota((1, LANES)) == l, row, 0))
+
+
+def _write_flat(ref, idx, val):
+    r = idx // LANES
+    l = idx - r * LANES
+    row = ref[pl.ds(r, 1), :]
+    ref[pl.ds(r, 1), :] = jnp.where(_lane_iota((1, LANES)) == l, val, row)
+
+
+def _last_argmax(scores, idx_grid):
+    """Index of the max; ties -> LAST index (Rust Iterator::max_by)."""
+    m = jnp.max(scores)
+    return jnp.max(jnp.where(scores == m, idx_grid, -1))
+
+
+def _c_puct(n, base, init):
+    return jnp.log((1.0 + n + base) / base) + init
+
+
+# ---------------------------------------------------------------------------
+# Descent kernel: one wave of V sequential virtual-loss descents per game.
+# ---------------------------------------------------------------------------
+
+def _descend_kernel(
+    # inputs
+    scal_ref,            # SMEM (1, 4) i32: n0, virt0, next_free, unused
+    root_prior_ref,      # (Ar, 128) f32
+    root_bias_ref,       # (Ar, 128) f32: 0 legal / -inf illegal+padding
+    root_n_ref,          # (Ar, 128) i32
+    root_w_ref,          # (Ar, 128) f32
+    root_virt_in,        # (Ar, 128) i32
+    root_child_in,       # (Ar, 128) i32
+    edge_action_ref,     # (M, K) i32
+    edge_prior_ref,      # (M, K) f32
+    edge_n_ref,          # (M, K) i32
+    edge_w_ref,          # (M, K) f32
+    edge_virt_in,        # (M, K) i32
+    edge_child_in,       # (M, K) i32
+    expanded_ref,        # (Mr, 128) i32
+    parent_in,           # (Mr, 128) i32
+    parent_slot_in,      # (Mr, 128) i32
+    parent_action_in,    # (Mr, 128) i32
+    # outputs
+    scal_out,            # SMEM (1, 4) i32
+    root_virt_out,       # (Ar, 128) i32
+    root_child_out,      # (Ar, 128) i32
+    edge_virt_out,       # (M, K) i32
+    edge_child_out,      # (M, K) i32
+    parent_out,          # (Mr, 128) i32
+    parent_slot_out,     # (Mr, 128) i32
+    parent_action_out,   # (Mr, 128) i32
+    leaf_ref,            # (1, V) i32
+    created_ref,         # (1, V) i32
+    *,
+    V: int,
+    M: int,
+    K: int,
+    Ar: int,
+    base: float,
+    init: float,
+):
+    # carry mutable state through to the outputs
+    root_virt_out[...] = root_virt_in[...]
+    root_child_out[...] = root_child_in[...]
+    edge_virt_out[...] = edge_virt_in[...]
+    edge_child_out[...] = edge_child_in[...]
+    parent_out[...] = parent_in[...]
+    parent_slot_out[...] = parent_slot_in[...]
+    parent_action_out[...] = parent_action_in[...]
+    leaf_ref[...] = jnp.zeros((1, V), jnp.int32)
+    created_ref[...] = jnp.zeros((1, V), jnp.int32)
+
+    n0 = scal_ref[0, 0]
+    aidx = _flat_iota(Ar, LANES)
+    kidx = _lane_iota((1, K))
+    vidx = _lane_iota((1, V))
+
+    def one_descent(v, carry):
+        virt0, next_free = carry
+
+        # ---- root selection: dense PUCT over the full action space ----
+        rv = root_virt_out[...]
+        rn = root_n_ref[...]
+        tot = (rn + rv).astype(jnp.float32)
+        q = jnp.where(
+            tot > 0,
+            (root_w_ref[...] - rv.astype(jnp.float32))
+            / jnp.maximum(tot, 1.0),
+            0.0,
+        )
+        n0f = (n0 + virt0).astype(jnp.float32)
+        u = (
+            _c_puct(n0f, base, init)
+            * root_prior_ref[...]
+            * jnp.sqrt(n0f)
+            / (1.0 + tot)
+        )
+        scores = q + u + root_bias_ref[...]
+        a0 = _last_argmax(scores, aidx)
+        onehot = aidx == a0
+        c0 = jnp.sum(jnp.where(onehot, root_child_out[...], 0))
+        nv0 = jnp.sum(jnp.where(onehot, rn + rv, 0))
+        # mark the virtual visit (pre-mark nv0, as upstream)
+        root_virt_out[...] = rv + onehot.astype(jnp.int32)
+        virt0 = virt0 + 1
+
+        create0 = (c0 == NONE) & (next_free < M)
+
+        @pl.when(create0)
+        def _():
+            root_child_out[...] = jnp.where(
+                onehot, next_free, root_child_out[...]
+            )
+            _write_flat(parent_out, next_free, 0)
+            _write_flat(parent_slot_out, next_free, NONE)
+            _write_flat(parent_action_out, next_free, a0)
+
+        # pool exhausted at the root -> re-evaluate the root (leaf 0)
+        leaf_v = jnp.where(create0, next_free, 0)
+        created_v = jnp.where(create0, 1, 0)
+        next_free = next_free + jnp.where(create0, 1, 0)
+        cur = jnp.where(create0, NONE, c0)
+
+        # ---- walk down the tree until a leaf resolves ------------------
+        def wcond(c):
+            return c[0] != NONE
+
+        def wbody(c):
+            cur, nv, leaf_v, created_v, nf = c
+            exp = _read_flat(expanded_ref, cur) != 0
+
+            ea = edge_action_ref[pl.ds(cur, 1), :]
+            ev = edge_virt_out[pl.ds(cur, 1), :]
+            en = edge_n_ref[pl.ds(cur, 1), :]
+            ec = edge_child_out[pl.ds(cur, 1), :]
+            tot = (en + ev).astype(jnp.float32)
+            q = jnp.where(
+                tot > 0,
+                (edge_w_ref[pl.ds(cur, 1), :] - ev.astype(jnp.float32))
+                / jnp.maximum(tot, 1.0),
+                0.0,
+            )
+            npf = nv.astype(jnp.float32)
+            u = (
+                _c_puct(npf, base, init)
+                * edge_prior_ref[pl.ds(cur, 1), :]
+                * jnp.sqrt(npf)
+                / (1.0 + tot)
+            )
+            scores = jnp.where(ea != NONE, q + u, _NEG_INF)
+            slot = _last_argmax(scores, kidx)
+            oh = kidx == slot
+            action = jnp.sum(jnp.where(oh, ea, 0))
+            child = jnp.sum(jnp.where(oh, ec, 0))
+            cnv = jnp.sum(jnp.where(oh, en + ev, 0))
+
+            want_create = exp & (child == NONE)
+            ok_create = want_create & (nf < M)
+
+            @pl.when(exp)
+            def _():
+                edge_virt_out[pl.ds(cur, 1), :] = ev + oh.astype(jnp.int32)
+
+            @pl.when(ok_create)
+            def _():
+                edge_child_out[pl.ds(cur, 1), :] = jnp.where(oh, nf, ec)
+                _write_flat(parent_out, nf, cur)
+                _write_flat(parent_slot_out, nf, slot)
+                _write_flat(parent_action_out, nf, action)
+
+            # stop at pending/terminal nodes (leaf = cur, re-evaluated),
+            # on creation (leaf = new node), or pool-full (leaf = cur)
+            stopping = ~exp | want_create
+            new_leaf = jnp.where(ok_create, nf, cur)
+            leaf_v = jnp.where(stopping, new_leaf, leaf_v)
+            created_v = jnp.where(ok_create, 1, created_v)
+            nf = nf + jnp.where(ok_create, 1, 0)
+            nxt = jnp.where(stopping, NONE, child)
+            nv = jnp.where(stopping, nv, cnv)
+            return (nxt, nv, leaf_v, created_v, nf)
+
+        cur, _, leaf_v, created_v, next_free = jax.lax.while_loop(
+            wcond, wbody, (cur, nv0, leaf_v, created_v, next_free)
+        )
+
+        is_v = vidx == v
+        leaf_ref[...] = jnp.where(is_v, leaf_v, leaf_ref[...])
+        created_ref[...] = jnp.where(is_v, created_v, created_ref[...])
+        return (virt0, next_free)
+
+    virt0, next_free = jax.lax.fori_loop(
+        0, V, one_descent, (scal_ref[0, 1], scal_ref[0, 2])
+    )
+    scal_out[0, 0] = n0
+    scal_out[0, 1] = virt0
+    scal_out[0, 2] = next_free
+    scal_out[0, 3] = 0
+
+
+# ---------------------------------------------------------------------------
+# Expand+backup kernel: after the wave's NN evaluation, write each new
+# leaf's top-K edge row (priors/actions, cleared stats) and run all V
+# value backups — sequentially per game, one kernel launch per wave.
+# ---------------------------------------------------------------------------
+
+def _expand_backup_kernel(
+    # inputs
+    scal_ref,            # SMEM (1, 4) i32: n0, virt0, unused, unused
+    leaves_ref,          # SMEM (1, V) i32
+    values_ref,          # SMEM (1, V) f32
+    results_ref,         # SMEM (1, V) i32 leaf result codes
+    topk_vals_ref,       # (V, K) f32 masked top-K priors (-1 pad)
+    topk_aidx_ref,       # (V, K) i32 top-K action ids
+    parent_ref,          # (Mr, 128) i32
+    parent_slot_ref,     # (Mr, 128) i32
+    parent_action_ref,   # (Mr, 128) i32
+    expanded_in,         # (Mr, 128) i32
+    root_n_in,           # (Ar, 128) i32
+    root_virt_in,        # (Ar, 128) i32
+    root_w_in,           # (Ar, 128) f32
+    edge_action_in,      # (M, K) i32
+    edge_prior_in,       # (M, K) f32
+    edge_child_in,       # (M, K) i32
+    edge_n_in,           # (M, K) i32
+    edge_virt_in,        # (M, K) i32
+    edge_w_in,           # (M, K) f32
+    # outputs
+    scal_out,            # SMEM (1, 4) i32
+    expanded_out,        # (Mr, 128) i32
+    root_n_out,          # (Ar, 128) i32
+    root_virt_out,       # (Ar, 128) i32
+    root_w_out,          # (Ar, 128) f32
+    edge_action_out,     # (M, K) i32
+    edge_prior_out,      # (M, K) f32
+    edge_child_out,      # (M, K) i32
+    edge_n_out,          # (M, K) i32
+    edge_virt_out,       # (M, K) i32
+    edge_w_out,          # (M, K) f32
+    *,
+    V: int,
+    K: int,
+    Ar: int,
+    ongoing: int,
+):
+    expanded_out[...] = expanded_in[...]
+    root_n_out[...] = root_n_in[...]
+    root_virt_out[...] = root_virt_in[...]
+    root_w_out[...] = root_w_in[...]
+    edge_action_out[...] = edge_action_in[...]
+    edge_prior_out[...] = edge_prior_in[...]
+    edge_child_out[...] = edge_child_in[...]
+    edge_n_out[...] = edge_n_in[...]
+    edge_virt_out[...] = edge_virt_in[...]
+    edge_w_out[...] = edge_w_in[...]
+
+    aidx = _flat_iota(Ar, LANES)
+
+    def one_backup(v, carry):
+        n0, virt0 = carry
+        cur = leaves_ref[0, v]
+        val = values_ref[0, v]
+
+        # ---- expansion: install the leaf's top-K prior row -------------
+        # Skip terminal leaves, the root (prepare_root owns it), and
+        # already-expanded rows (pool-full re-evals; duplicate pending
+        # leaves would rewrite an identical row).
+        was_expanded = _read_flat(expanded_out, cur) != 0
+        do_expand = (
+            (results_ref[0, v] == ongoing) & (cur != 0) & ~was_expanded
+        )
+
+        @pl.when(do_expand)
+        def _():
+            va = topk_vals_ref[pl.ds(v, 1), :]
+            ai = topk_aidx_ref[pl.ds(v, 1), :]
+            okm = va >= 0.0
+            edge_action_out[pl.ds(cur, 1), :] = jnp.where(okm, ai, NONE)
+            edge_prior_out[pl.ds(cur, 1), :] = jnp.where(okm, va, 0.0)
+            zi = jnp.zeros((1, K), jnp.int32)
+            edge_n_out[pl.ds(cur, 1), :] = zi
+            edge_virt_out[pl.ds(cur, 1), :] = zi
+            edge_w_out[pl.ds(cur, 1), :] = jnp.zeros((1, K), jnp.float32)
+            edge_child_out[pl.ds(cur, 1), :] = jnp.full((1, K), NONE, jnp.int32)
+            _write_flat(expanded_out, cur, 1)
+
+        def wcond(c):
+            return c[0] != NONE
+
+        def wbody(c):
+            cur, sign, n0, virt0 = c
+            p = _read_flat(parent_ref, cur)
+            s = _read_flat(parent_slot_ref, cur)
+            a = _read_flat(parent_action_ref, cur)
+            is_root_edge = (p == 0) & (s == NONE)
+            is_edge = (p != NONE) & ~is_root_edge
+            at_root = cur == 0
+
+            @pl.when(is_root_edge)
+            def _():
+                oh = aidx == a
+                ohi = oh.astype(jnp.int32)
+                root_n_out[...] = root_n_out[...] + ohi
+                root_virt_out[...] = root_virt_out[...] - ohi
+                root_w_out[...] = root_w_out[...] + jnp.where(
+                    oh, sign * val, 0.0
+                )
+
+            @pl.when(is_edge)
+            def _():
+                row_n = edge_n_out[pl.ds(p, 1), :]
+                row_v = edge_virt_out[pl.ds(p, 1), :]
+                row_w = edge_w_out[pl.ds(p, 1), :]
+                oh = _lane_iota(row_n.shape) == s
+                ohi = oh.astype(jnp.int32)
+                edge_n_out[pl.ds(p, 1), :] = row_n + ohi
+                edge_virt_out[pl.ds(p, 1), :] = row_v - ohi
+                edge_w_out[pl.ds(p, 1), :] = row_w + jnp.where(
+                    oh, sign * val, 0.0
+                )
+
+            n0 = n0 + jnp.where(at_root, 1, 0)
+            virt0 = virt0 - jnp.where(at_root, 1, 0)
+            return (p, -sign, n0, virt0)
+
+        _, _, n0, virt0 = jax.lax.while_loop(
+            wcond, wbody, (cur, jnp.float32(-1.0), n0, virt0)
+        )
+        return (n0, virt0)
+
+    n0, virt0 = jax.lax.fori_loop(
+        0, V, one_backup, (scal_ref[0, 0], scal_ref[0, 1])
+    )
+    scal_out[0, 0] = n0
+    scal_out[0, 1] = virt0
+    scal_out[0, 2] = 0
+    scal_out[0, 3] = 0
+
+
+def build_expand_backup_wave(engine, config, *, interpret: bool = False):
+    """Returns run(tree_b, leaves, topk_vals, topk_aidx, leaf_results,
+    values) -> tree_b with every new leaf's edge row installed and all V
+    backups applied — replaces the expansion scatters + lockstep backup
+    walk of the XLA path with one kernel launch."""
+    from ..types import ONGOING
+
+    V = config.wave_size
+    M = config.max_nodes
+    K = config.max_children
+    A = engine.num_actions
+    Ar = _cdiv(A, LANES)
+    Mr = _cdiv(M, LANES)
+
+    kernel = partial(
+        _expand_backup_kernel, V=V, K=K, Ar=Ar, ongoing=int(ONGOING)
+    )
+
+    vspec = lambda *shape: pl.BlockSpec(
+        (None,) + shape, lambda g: (g,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    sspec = pl.BlockSpec(
+        (None, 1, 4), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+    )
+    # leaves/values/results are read one scalar at a time at a dynamic
+    # index -> SMEM (VMEM cannot do dynamic lane indexing)
+    rowspec = lambda w: pl.BlockSpec(
+        (None, 1, w), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+    )
+
+    def run(tree: Tree, leaves, topk_vals, topk_aidx, leaf_results, values):
+        B = tree.n0.shape[0]
+        padA = Ar * LANES - A
+        padM = Mr * LANES - M
+
+        def to_rows(x, pad, rows, fill=0):
+            return jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill).reshape(
+                B, rows, LANES
+            )
+
+        scal = jnp.stack(
+            [tree.n0, tree.virt0, jnp.zeros_like(tree.n0),
+             jnp.zeros_like(tree.n0)], -1
+        )[:, None, :]
+        i32 = jnp.int32
+        f32 = jnp.float32
+        out_shapes = (
+            jax.ShapeDtypeStruct((B, 1, 4), i32),         # scal
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # expanded
+            jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_n
+            jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_virt
+            jax.ShapeDtypeStruct((B, Ar, LANES), f32),    # root_w
+            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_action
+            jax.ShapeDtypeStruct((B, M, K), f32),         # edge_prior
+            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_child
+            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_n
+            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_virt
+            jax.ShapeDtypeStruct((B, M, K), f32),         # edge_w
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                sspec, rowspec(V), rowspec(V), rowspec(V),
+                vspec(V, K), vspec(V, K),
+                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
+                vspec(Mr, LANES),
+                vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
+                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(M, K), vspec(M, K), vspec(M, K),
+            ],
+            out_specs=(
+                sspec,
+                vspec(Mr, LANES),
+                vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
+                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(M, K), vspec(M, K), vspec(M, K),
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(
+            scal,
+            leaves[:, None, :],
+            values.astype(f32)[:, None, :],
+            leaf_results[:, None, :],
+            topk_vals.astype(f32), topk_aidx,
+            to_rows(tree.parent, padM, Mr),
+            to_rows(tree.parent_slot, padM, Mr),
+            to_rows(tree.parent_action, padM, Mr),
+            to_rows(tree.expanded.astype(i32), padM, Mr),
+            to_rows(tree.root_n, padA, Ar),
+            to_rows(tree.root_virt, padA, Ar),
+            to_rows(tree.root_w.astype(f32), padA, Ar),
+            tree.edge_action, tree.edge_prior.astype(f32), tree.edge_child,
+            tree.edge_n, tree.edge_virt, tree.edge_w.astype(f32),
+        )
+        (scal_o, exp_o, rn_o, rv_o, rw_o,
+         ea_o, ep_o, ec_o, en_o, ev_o, ew_o) = outs
+
+        def from_rows(x, n):
+            return x.reshape(B, -1)[:, :n]
+
+        return tree.replace(
+            expanded=from_rows(exp_o, M).astype(bool),
+            root_n=from_rows(rn_o, A),
+            root_virt=from_rows(rv_o, A),
+            root_w=from_rows(rw_o, A),
+            edge_action=ea_o,
+            edge_prior=ep_o,
+            edge_child=ec_o,
+            edge_n=en_o,
+            edge_virt=ev_o,
+            edge_w=ew_o,
+            n0=scal_o[:, 0, 0],
+            virt0=scal_o[:, 0, 1],
+        )
+
+    return run
+
+
+def build_descend_wave(engine, config, *, interpret: bool = False):
+    """Returns run(tree_b) -> (tree_b, leaves [B,V] i32, created [B,V] bool),
+    a drop-in replacement for vmap(MCTS._descend_wave)."""
+    V = config.wave_size
+    M = config.max_nodes
+    K = config.max_children
+    A = engine.num_actions
+    Ar = _cdiv(A, LANES)
+    Mr = _cdiv(M, LANES)
+
+    kernel = partial(
+        _descend_kernel,
+        V=V, M=M, K=K, Ar=Ar,
+        base=float(config.exploration_base),
+        init=float(config.exploration_init),
+    )
+
+    vspec = lambda *shape: pl.BlockSpec(
+        (None,) + shape, lambda g: (g,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    # Mosaic wants the trailing two block dims to equal the array dims (or
+    # be 8/128-aligned); give the per-game scalar/vector rows a unit axis.
+    sspec = pl.BlockSpec(
+        (None, 1, 4), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+    )
+    ospec2 = lambda w: pl.BlockSpec(
+        (None, 1, w), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def run(tree: Tree):
+        B = tree.n0.shape[0]
+        padA = Ar * LANES - A
+        padM = Mr * LANES - M
+
+        def to_rows(x, pad, rows, fill=0):
+            return jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill).reshape(
+                B, rows, LANES
+            )
+
+        scal = jnp.stack(
+            [tree.n0, tree.virt0, tree.next_free, jnp.zeros_like(tree.n0)], -1
+        )[:, None, :]
+        root_bias = jnp.where(tree.root_legal, 0.0, _NEG_INF)
+
+        f32 = jnp.float32
+        i32 = jnp.int32
+        out_shapes = (
+            jax.ShapeDtypeStruct((B, 1, 4), i32),         # scal
+            jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_virt
+            jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_child
+            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_virt
+            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_child
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_slot
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_action
+            jax.ShapeDtypeStruct((B, 1, V), i32),         # leaf
+            jax.ShapeDtypeStruct((B, 1, V), i32),         # created
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                sspec,
+                vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
+                vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
+                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
+                vspec(Mr, LANES),
+            ],
+            out_specs=(
+                sspec,
+                vspec(Ar, LANES), vspec(Ar, LANES),
+                vspec(M, K), vspec(M, K),
+                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
+                ospec2(V), ospec2(V),
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(
+            scal,
+            to_rows(tree.root_prior.astype(f32), padA, Ar),
+            to_rows(root_bias, padA, Ar, fill=_NEG_INF),
+            to_rows(tree.root_n, padA, Ar),
+            to_rows(tree.root_w.astype(f32), padA, Ar),
+            to_rows(tree.root_virt, padA, Ar),
+            to_rows(tree.root_child, padA, Ar, fill=NONE),
+            tree.edge_action, tree.edge_prior.astype(f32), tree.edge_n,
+            tree.edge_w.astype(f32), tree.edge_virt, tree.edge_child,
+            to_rows(tree.expanded.astype(i32), padM, Mr),
+            to_rows(tree.parent, padM, Mr),
+            to_rows(tree.parent_slot, padM, Mr),
+            to_rows(tree.parent_action, padM, Mr),
+        )
+        (scal_o, rv_o, rc_o, ev_o, ec_o, p_o, ps_o, pa_o, leaf, created) = outs
+
+        def from_rows(x, n):
+            return x.reshape(B, -1)[:, :n]
+
+        tree = tree.replace(
+            root_virt=from_rows(rv_o, A),
+            root_child=from_rows(rc_o, A),
+            edge_virt=ev_o,
+            edge_child=ec_o,
+            parent=from_rows(p_o, M),
+            parent_slot=from_rows(ps_o, M),
+            parent_action=from_rows(pa_o, M),
+            virt0=scal_o[:, 0, 1],
+            next_free=scal_o[:, 0, 2],
+        )
+        return tree, leaf[:, 0, :], created[:, 0, :].astype(bool)
+
+    return run

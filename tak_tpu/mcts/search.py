@@ -66,6 +66,10 @@ class SearchConfig:
     node_budget: int | None = None  # tree capacity; default fits num_sims
     exploration_base: float = EXPLORATION_BASE
     exploration_init: float = EXPLORATION_INIT
+    # descent backend: "auto" = fused Pallas kernel on TPU when the tree
+    # fits in VMEM, XLA otherwise; "xla" / "pallas" force; "pallas" on a
+    # CPU host runs the kernel in interpreter mode (tests).
+    backend: str = "auto"
 
     @property
     def num_waves(self) -> int:
@@ -95,6 +99,32 @@ class MCTS:
         self.engine = engine
         self.eval_fn = eval_fn
         self.config = config
+        self._resolve_backend()
+
+    def _resolve_backend(self):
+        """Pick the fused Pallas descent/expand+backup kernels or XLA paths."""
+        from .pallas_ops import (
+            build_descend_wave, build_expand_backup_wave, fits_in_vmem,
+        )
+
+        cfg = self.config
+        if cfg.backend not in ("auto", "xla", "pallas"):
+            raise ValueError(f"unknown search backend {cfg.backend!r}")
+        on_tpu = jax.default_backend() not in ("cpu",)
+        fits = fits_in_vmem(cfg.max_nodes, cfg.max_children,
+                            self.engine.num_actions)
+        self._use_pallas = cfg.backend == "pallas" or (
+            cfg.backend == "auto" and on_tpu and fits
+        )
+        if self._use_pallas:
+            self._descend = build_descend_wave(
+                self.engine, cfg, interpret=not on_tpu
+            )
+            self._expand_backup = build_expand_backup_wave(
+                self.engine, cfg, interpret=not on_tpu
+            )
+        else:
+            self._descend = lambda tree_b: jax.vmap(self._descend_wave)(tree_b)
 
     # -- tree construction -------------------------------------------------
 
@@ -243,35 +273,31 @@ class MCTS:
 
     # -- wave-end evaluation application -----------------------------------
 
-    def _apply_wave(self, tree: Tree, leaves, created, leaf_states,
-                    leaf_results, policy, value):
-        """Write new nodes, expand, and run all V backups batched.
-
-        leaves/created: [V]; leaf_states: GameState with leading [V];
-        policy [V, A]; value [V].
-        """
-        V = leaves.shape[0]
+    def _write_nodes(self, tree: Tree, leaves, created, leaf_states,
+                     leaf_results):
+        """Write created nodes' states + results (unique indices)."""
         M = self.config.max_nodes
-        A = self.engine.num_actions
-
-        # -- write states + results of created nodes (unique indices) ---
         idx = jnp.where(created, leaves, M)
         state = jax.tree.map(
             lambda arr, upd: arr.at[idx].set(upd, mode="drop"),
             tree.state, leaf_states,
         )
         result = tree.result.at[idx].set(leaf_results, mode="drop")
-        tree = tree.replace(state=state, result=result)
+        return tree.replace(state=state, result=result)
 
-        # -- leaf values: terminal leaves use the anchored game outcome --
-        res = tree.result[leaves]
-        terminal = res != ONGOING
-        winner = result_winner(res)
-        term_val = jnp.where(
-            winner < 0, 0.0,
-            jnp.where(leaf_states.to_move == winner, 1.0, -1.0),
-        )
-        values = jnp.where(terminal, term_val, value)
+    def _write_and_expand(self, tree: Tree, leaves, created, leaf_states,
+                          leaf_results, policy):
+        """Write created nodes' states/results and expand new leaves.
+
+        leaves/created: [V]; leaf_states: GameState with leading [V];
+        policy [V, A].
+        """
+        V = leaves.shape[0]
+        M = self.config.max_nodes
+
+        tree = self._write_nodes(tree, leaves, created, leaf_states,
+                                 leaf_results)
+        terminal = tree.result[leaves] != ONGOING
 
         # -- expansion, fully batched: every non-terminal non-root leaf
         # row gets its top-K legal priors (duplicate pending leaves write
@@ -302,8 +328,26 @@ class MCTS:
             ),
             expanded=tree.expanded.at[rows].set(True, mode="drop"),
         )
+        return tree
 
-        # -- all V backups walk up in lockstep (mcts.rs:67-91 signs) -----
+    def _leaf_values(self, tree: Tree, leaves, leaf_states, value):
+        """Backup values per leaf: terminal leaves use the anchored game
+        outcome instead of the network eval (mcts.rs:53-64)."""
+        res = tree.result[leaves]
+        terminal = res != ONGOING
+        winner = result_winner(res)
+        term_val = jnp.where(
+            winner < 0, 0.0,
+            jnp.where(leaf_states.to_move == winner, 1.0, -1.0),
+        )
+        return jnp.where(terminal, term_val, value)
+
+    def _backup_xla(self, tree: Tree, leaves, values):
+        """All V backups walk up in lockstep (mcts.rs:67-91 signs)."""
+        M = self.config.max_nodes
+        A = self.engine.num_actions
+        V = leaves.shape[0]
+
         def walk_cond(carry):
             cur, _sign, _t = carry
             return jnp.any(cur != NONE)
@@ -345,7 +389,7 @@ class MCTS:
         V = self.config.wave_size
         engine = self.engine
 
-        tree_b, leaves, created = jax.vmap(self._descend_wave)(tree_b)  # [B, V]
+        tree_b, leaves, created = self._descend(tree_b)  # [B, V]
 
         # recompute every leaf's state with one batched env step:
         # leaf = step(state[parent], parent_action); root leaf = root state
@@ -372,13 +416,33 @@ class MCTS:
         )
         policy, value = self.eval_fn(params, flat_states)
         B = leaves.shape[0]
-        policy = policy.reshape(B, V, -1)
         value = value.reshape(B, V)
         leaf_results = flat_states.result.reshape(B, V)
 
-        return jax.vmap(self._apply_wave)(
-            tree_b, leaves, created, leaf_states, leaf_results, policy, value
+        if self._use_pallas:
+            # top-K prior selection stays in XLA; the row installs and
+            # the V backup walks happen in one fused kernel
+            legal = jax.vmap(engine.legal_mask)(flat_states)
+            masked = jnp.where(legal, policy, -1.0)
+            vals, aidx = jax.lax.top_k(masked, self.config.max_children)
+            tree_b = jax.vmap(self._write_nodes)(
+                tree_b, leaves, created, leaf_states, leaf_results
+            )
+            values = jax.vmap(self._leaf_values)(
+                tree_b, leaves, leaf_states, value
+            )
+            return self._expand_backup(
+                tree_b, leaves,
+                vals.reshape(B, V, -1), aidx.reshape(B, V, -1),
+                leaf_results, values,
+            )
+
+        policy = policy.reshape(B, V, -1)
+        tree_b = jax.vmap(self._write_and_expand)(
+            tree_b, leaves, created, leaf_states, leaf_results, policy
         )
+        values = jax.vmap(self._leaf_values)(tree_b, leaves, leaf_states, value)
+        return jax.vmap(self._backup_xla)(tree_b, leaves, values)
 
     # -- public API ----------------------------------------------------------
 
