@@ -30,35 +30,46 @@ from .core import Engine, _trunc_div2, _U32
 
 
 def observe(engine: Engine, state: GameState) -> jnp.ndarray:
-    """Input planes [n, n, input_channels(n)] (float32) for one game."""
+    """Input planes [n, n, input_channels(n)] (float32) for one game.
+
+    Implementation note: this runs once per leaf per MCTS wave, and the
+    backend's per-op dispatch cost dominates (see CLAUDE.md), so all
+    board planes are built with a handful of broadcasted elementwise ops
+    (one [n2, depth] window per stack layer via word *selects*, no
+    gathers) instead of a Python loop of per-layer extractions.
+    """
     n, n2 = engine.n, engine.num_squares
     to_move = state.to_move
     heights = state.heights
     owner = engine.top_colors(state)
-    mine = (owner == to_move).astype(jnp.int32)
+    mine = owner == to_move
 
-    planes = []
-
-    # top-piece planes: channel = 2*(piece-1) + (0 mine / 1 theirs)
+    # top-piece planes in one one-hot: channel = 2*(piece-1) + theirs
     occupied = heights > 0
-    for piece in (1, 2, 3):
-        is_p = occupied & (state.tops == piece)
-        planes.append((is_p & (mine == 1)).astype(jnp.float32))
-        planes.append((is_p & (mine == 0)).astype(jnp.float32))
+    ch = 2 * (state.tops - 1) + (~mine).astype(jnp.int32)
+    ch = jnp.where(occupied, ch, -1)
+    top_planes = (ch[:, None] == jnp.arange(6)).astype(jnp.float32)  # [n2, 6]
 
-    # sub-top layers: layer i is the piece at height h-2-i
+    # sub-top layers, all depths at once: layer i is the color bit at
+    # height h-2-i; the word index only takes values 0..W-1, so select
+    # over the W words instead of gathering
     depth = n + STACK_DEPTH_BEYOND_CARRY - 1
-    for i in range(depth):
-        h = heights - 2 - i
-        present = h >= 0
-        j = jnp.maximum(h, 0) >> 5
-        w = jnp.take_along_axis(state.stacks, j[:, None], axis=1)[:, 0]
-        color = ((w >> (jnp.maximum(h, 0) & 31).astype(_U32)) & _U32(1)).astype(jnp.int32)
-        layer_mine = present & (color == to_move)
-        planes.append(layer_mine.astype(jnp.float32))
-        planes.append((present & ~layer_mine).astype(jnp.float32))
+    pos = heights[:, None] - 2 - jnp.arange(depth)       # [n2, depth]
+    present = pos >= 0
+    p = jnp.maximum(pos, 0)
+    j = p >> 5
+    word = jnp.broadcast_to(state.stacks[:, 0:1], p.shape)
+    for k in range(1, engine.words):
+        word = jnp.where(j >= k, state.stacks[:, k : k + 1], word)
+    color = ((word >> (p & 31).astype(_U32)) & _U32(1)).astype(jnp.int32)
+    layer_mine = present & (color == to_move)
+    sub = jnp.stack(
+        [layer_mine, present & ~layer_mine], axis=-1
+    ).reshape(n2, 2 * depth).astype(jnp.float32)
 
-    board = jnp.stack(planes, axis=-1).reshape(n, n, len(planes))
+    board = jnp.concatenate([top_planes, sub], axis=-1).reshape(
+        n, n, 6 + 2 * depth
+    )
 
     # reserve one-hots (constant planes)
     def onehot(count, size):
