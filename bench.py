@@ -34,8 +34,27 @@ MCTS_K = int(os.environ.get("BENCH_MCTS_K", 64))
 
 
 def bench_env(engine):
-    """Random-legal-move lockstep playouts, all on device."""
+    """Random-legal-move lockstep playouts, all on device.
+
+    On TPU the whole loop body (legal mask, uniform-over-legal sample,
+    step, result, reset) runs in ONE fused Pallas kernel with the step
+    loop in-kernel (engine/pallas_env.py); the XLA loop below remains as
+    the CPU / large-board fallback and as the parity reference.
+    """
     from tak_tpu.types import ONGOING
+
+    if jax.default_backend() != "cpu" and engine.fused_kernels_supported:
+        rollout = jax.jit(engine.env_rollout_fn(ENV_STEPS))
+        states = engine.initial_batch(ENV_BATCH, 4)
+        states = rollout(states, jnp.int32(0))
+        jax.device_get(states.ply[0])  # force compile + warmup
+        reps = 8
+        t0 = time.perf_counter()
+        for i in range(reps):
+            states = rollout(states, jnp.int32(i + 1))
+        jax.device_get(states.ply[0])
+        dt = time.perf_counter() - t0
+        return ENV_BATCH * ENV_STEPS * reps / dt
 
     fresh = engine.initial(4)
 
@@ -68,12 +87,14 @@ def bench_env(engine):
 
     states = engine.initial_batch(ENV_BATCH, 4)
     rng = jax.random.PRNGKey(0)
-    jax.block_until_ready(rollout(states, rng))  # compile
+    # NB: block_until_ready does NOT wait on the axon backend (execution
+    # defers until a host readback); device_get a scalar to force it.
+    jax.device_get(rollout(states, rng).ply[0])  # compile
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
         states = rollout(states, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(states)
+    jax.device_get(states.ply[0])
     dt = time.perf_counter() - t0
     return ENV_BATCH * ENV_STEPS * reps / dt
 
@@ -101,12 +122,14 @@ def bench_mcts(engine):
         tree = mcts.run_sims(variables, tree)
         return tree
 
-    jax.block_until_ready(run().n0)  # compile
+    jax.device_get(run().n0[0])  # compile (forced readback, see bench_env)
     t0 = time.perf_counter()
-    tree = run()
-    jax.block_until_ready(tree.n0)
+    reps = 2
+    for _ in range(reps):
+        tree = run()
+        jax.device_get(tree.n0[0])
     dt = time.perf_counter() - t0
-    sims = MCTS_BATCH * cfg.num_waves * cfg.wave_size
+    sims = MCTS_BATCH * cfg.num_waves * cfg.wave_size * reps
     return sims / dt
 
 

@@ -202,39 +202,105 @@ class Engine:
         """(white_road, black_road): edge-to-edge roads of flats+caps
         (board.rs:77-113).
 
-        Masked-dilation flood fill instead of recursive DFS, with both
-        colors and both axes packed into one int32 label grid (bit 0:
-        white reached-from-bottom, bit 1: white reached-from-left, bits
-        2-3: same for black).  The n*n dilation steps are unrolled so XLA
-        fuses the whole fixpoint into one kernel (a fori_loop/while lowers
-        to dozens of serialized tiny kernels).
+        Bitboard flood fill: the whole board packs into one or two u32
+        words per game (bit q = square q), so every dilation op is a
+        *scalar* shift/and/or — vmapped over the batch these become
+        [B]-shaped full-lane-occupancy VPU ops, ~10x cheaper than any
+        per-square grid layout (see CLAUDE.md tiling note).  Four floods
+        run in lockstep (white/black x from-bottom/from-left); the n*n
+        fixpoint steps run in a `lax.scan` (unroll=6) so compile cost
+        stays constant in board size.
         """
-        n = self.n
+        n, n2 = self.n, self.num_squares
         owner = self.top_colors(state)
         roady = (state.heights > 0) & ((state.tops == FLAT) | (state.tops == CAP))
-        grid = roady.reshape(n, n)
-        owner_grid = owner.reshape(n, n)
-        pw2 = (_U32(1) << jnp.arange(n, dtype=_U32))
-        wrow = jnp.sum(jnp.where(grid & (owner_grid == 0), pw2, _U32(0)), -1)
-        brow = jnp.sum(jnp.where(grid & (owner_grid == 1), pw2, _U32(0)), -1)
-        own = jnp.stack([wrow, brow])              # [2, n] row bitmasks
-        own = own | (own << 16)                    # plane 2: from-left-edge
 
-        row0 = (jnp.arange(n) == 0).astype(_U32)
-        seed = (own & ((_U32(1) << n) - 1)) * row0[None, :]  # bottom edge
-        seed = seed | ((own & (_U32(1) << 16)))              # left edge
-        lab = seed
+        q = np.arange(n2)
+        full = (1 << n2) - 1
+        col0 = sum(1 << qq for qq in range(0, n2, n))
+        colL = col0 << (n - 1)
+        bottom = (1 << n) - 1
+        top = bottom << (n2 - n)
+        nc0 = full & ~col0            # allowed destinations of a <<1
+        ncl = full & ~colL            # allowed destinations of a >>1
+        two = n2 > 32
 
-        zero_col = jnp.zeros((2, 1), _U32)
-        for _ in range(n * n):
-            up = jnp.concatenate([zero_col, lab[:, :-1]], 1)
-            down = jnp.concatenate([lab[:, 1:], zero_col], 1)
-            lab = (lab | (lab << 1) | (lab >> 1) | up | down) & own
+        w_lo = jnp.asarray(
+            np.where(q < 32, np.uint32(1) << (q % 32).astype(np.uint32), 0),
+            _U32,
+        )
 
-        far_row = lab[:, -1] & ((_U32(1) << n) - 1)          # reached top row
-        far_col = jnp.any(lab & (_U32(1) << (16 + n - 1)) != 0, axis=1)
-        white = (far_row[0] != 0) | far_col[0]
-        black = (far_row[1] != 0) | far_col[1]
+        def lo32(x):
+            return _U32(x & 0xFFFFFFFF)
+
+        def hi32(x):
+            return _U32(x >> 32)
+
+        def pack(mask):
+            lo = jnp.sum(jnp.where(mask, w_lo, _U32(0)), dtype=_U32)
+            if not two:
+                return (lo,)
+            w_hi = jnp.asarray(
+                np.where(q >= 32, np.uint32(1) << (q % 32).astype(np.uint32), 0),
+                _U32,
+            )
+            hi = jnp.sum(jnp.where(mask, w_hi, _U32(0)), dtype=_U32)
+            return (lo, hi)
+
+        own = [pack(roady & (owner == c)) for c in (0, 1)]
+
+        if not two:
+            def dilate(lab, ow):
+                (lo,) = lab
+                d = (
+                    lo
+                    | ((lo << 1) & lo32(nc0))
+                    | ((lo >> 1) & lo32(ncl))
+                    | (lo << n)
+                    | (lo >> n)
+                )
+                return (d & ow[0],)
+
+            def seed(ow, mask):
+                return (ow[0] & lo32(mask),)
+
+            def hits(lab, mask):
+                return (lab[0] & lo32(mask)) != 0
+        else:
+            def dilate(lab, ow):
+                lo, hi = lab
+                a_lo = (lo << 1) & lo32(nc0)
+                a_hi = ((hi << 1) | (lo >> 31)) & hi32(nc0)
+                b_lo = ((lo >> 1) | (hi << 31)) & lo32(ncl)
+                b_hi = (hi >> 1) & hi32(ncl)
+                c_lo = lo << n
+                c_hi = (hi << n) | (lo >> (32 - n))
+                d_lo = (lo >> n) | (hi << (32 - n))
+                d_hi = hi >> n
+                nlo = (lo | a_lo | b_lo | c_lo | d_lo) & ow[0]
+                nhi = (hi | a_hi | b_hi | c_hi | d_hi) & ow[1]
+                return (nlo, nhi)
+
+            def seed(ow, mask):
+                return (ow[0] & lo32(mask), ow[1] & hi32(mask))
+
+            def hits(lab, mask):
+                return ((lab[0] & lo32(mask)) | (lab[1] & hi32(mask))) != 0
+
+        # planes: (white, black) x (from-bottom, from-left)
+        labs = (
+            seed(own[0], bottom), seed(own[0], col0),
+            seed(own[1], bottom), seed(own[1], col0),
+        )
+        owns = (own[0], own[0], own[1], own[1])
+
+        # fully unrolled: one fused elementwise chain (a scan/fori lowers
+        # to serialized kernel launches at ~1ms each on this backend)
+        for _ in range(n2):
+            labs = tuple(dilate(l, o) for l, o in zip(labs, owns))
+
+        white = hits(labs[0], top) | hits(labs[1], colL)
+        black = hits(labs[2], top) | hits(labs[3], colL)
         return white, black
 
     def has_road(self, state: GameState, color) -> jnp.ndarray:
@@ -513,6 +579,29 @@ class Engine:
     def initial_batch(self, batch: int, half_komi: int = 0) -> GameState:
         one = self.initial(half_komi)
         return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
+
+    # -- fused Pallas engine kernels (see engine/pallas_env.py) ---------------
+
+    @property
+    def fused_kernels_supported(self) -> bool:
+        return self.words <= 2  # sizes 3-6
+
+    def fused_step_fn(self, *, block_g: int = 256, interpret: bool = False):
+        """One-kernel (states, actions[, enabled]) -> states step+result.
+        Pass `seed`-free; freezes finished/disabled games like `step`."""
+        from .pallas_env import build_fused_step
+
+        return build_fused_step(self, block_g=block_g, interpret=interpret)
+
+    def env_rollout_fn(self, num_steps: int, *, block_g: int = 256,
+                       interpret: bool = False):
+        """One-kernel (states, seed) -> states after `num_steps` uniform-
+        random-legal steps with done-game reset (the whole env loop)."""
+        from .pallas_env import build_env_rollout
+
+        return build_env_rollout(
+            self, num_steps, block_g=block_g, interpret=interpret
+        )
 
 
 _ENGINES: dict[int, Engine] = {}
