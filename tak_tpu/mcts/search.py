@@ -125,6 +125,13 @@ class MCTS:
             )
         else:
             self._descend = lambda tree_b: jax.vmap(self._descend_wave)(tree_b)
+        # fused leaf step: one Pallas kernel for step+result of the whole
+        # wave's leaves (engine/pallas_env.py), replacing ~50 XLA kernels
+        self._fused_leaf_step = None
+        if self._use_pallas and self.engine.fused_kernels_supported:
+            self._fused_leaf_step = self.engine.fused_step_fn(
+                block_g=128, interpret=not on_tpu
+            )
 
     # -- tree construction -------------------------------------------------
 
@@ -393,24 +400,49 @@ class MCTS:
 
         # recompute every leaf's state with one batched env step:
         # leaf = step(state[parent], parent_action); root leaf = root state
-        def leaf_states_one(tree, ls):
-            def one_leaf(leaf):
-                p = tree.parent[leaf]
-                a = tree.parent_action[leaf]
-                parent_state = jax.tree.map(
-                    lambda x: x[jnp.maximum(p, 0)], tree.state
-                )
-                stepped = engine.step(parent_state, jnp.maximum(a, 0))
-                root_state = jax.tree.map(lambda x: x[0], tree.state)
-                is_root = leaf == 0
-                return jax.tree.map(
-                    lambda a_, b_: jnp.where(is_root, b_, a_),
-                    stepped, root_state,
-                )
+        B, V_ = leaves.shape
+        if self._fused_leaf_step is not None and (B * V_) % 128 == 0:
+            # gather parent states / actions (XLA), then one fused kernel
+            def gather_parents(tree, ls):
+                # root leaves (ls == 0) gather the root itself, regardless
+                # of what parent[0] holds after re-rooting
+                p = jnp.where(ls == 0, 0, jnp.maximum(tree.parent[ls], 0))
+                parents = jax.tree.map(lambda x: x[p], tree.state)
+                acts = jnp.maximum(tree.parent_action[ls], 0)
+                return parents, acts
 
-            return jax.vmap(one_leaf)(ls)
+            parents, acts = jax.vmap(gather_parents)(tree_b, leaves)
+            flat_parents = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), parents
+            )
+            # a root leaf (index 0) re-evaluates the root: disabled games
+            # come back frozen = the gathered root state itself
+            enabled = (leaves != 0).reshape(-1)
+            flat_leaf_states = self._fused_leaf_step(
+                flat_parents, acts.reshape(-1), enabled
+            )
+            leaf_states = jax.tree.map(
+                lambda x: x.reshape((B, V_) + x.shape[1:]), flat_leaf_states
+            )
+        else:
+            def leaf_states_one(tree, ls):
+                def one_leaf(leaf):
+                    p = tree.parent[leaf]
+                    a = tree.parent_action[leaf]
+                    parent_state = jax.tree.map(
+                        lambda x: x[jnp.maximum(p, 0)], tree.state
+                    )
+                    stepped = engine.step(parent_state, jnp.maximum(a, 0))
+                    root_state = jax.tree.map(lambda x: x[0], tree.state)
+                    is_root = leaf == 0
+                    return jax.tree.map(
+                        lambda a_, b_: jnp.where(is_root, b_, a_),
+                        stepped, root_state,
+                    )
 
-        leaf_states = jax.vmap(leaf_states_one)(tree_b, leaves)  # [B, V, ...]
+                return jax.vmap(one_leaf)(ls)
+
+            leaf_states = jax.vmap(leaf_states_one)(tree_b, leaves)  # [B, V, ...]
         flat_states = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:]), leaf_states
         )
