@@ -27,7 +27,7 @@ import jax.numpy as jnp
 N = int(os.environ.get("BENCH_SIZE", 6))
 ENV_BATCH = int(os.environ.get("BENCH_ENV_BATCH", 8192))
 ENV_STEPS = int(os.environ.get("BENCH_ENV_STEPS", 64))
-MCTS_BATCH = int(os.environ.get("BENCH_MCTS_BATCH", 256))
+MCTS_BATCH = int(os.environ.get("BENCH_MCTS_BATCH", 512))
 MCTS_SIMS = int(os.environ.get("BENCH_MCTS_SIMS", 512))
 MCTS_WAVE = int(os.environ.get("BENCH_MCTS_WAVE", 16))
 MCTS_K = int(os.environ.get("BENCH_MCTS_K", 64))

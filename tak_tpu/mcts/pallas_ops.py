@@ -293,8 +293,9 @@ def _expand_backup_kernel(
     # inputs
     scal_ref,            # SMEM (1, 4) i32: n0, virt0, unused, unused
     leaves_ref,          # SMEM (1, V) i32
-    values_ref,          # SMEM (1, V) f32
+    values_ref,          # SMEM (1, V) f32 raw network values
     results_ref,         # SMEM (1, V) i32 leaf result codes
+    tomove_ref,          # SMEM (1, V) i32 leaf side-to-move
     topk_vals_ref,       # (V, K) f32 masked top-K priors (-1 pad)
     topk_aidx_ref,       # (V, K) i32 top-K action ids
     parent_ref,          # (Mr, 128) i32
@@ -344,7 +345,18 @@ def _expand_backup_kernel(
     def one_backup(v, carry):
         n0, virt0 = carry
         cur = leaves_ref[0, v]
-        val = values_ref[0, v]
+        # terminal leaves back up the anchored game outcome instead of
+        # the network value (mcts.rs:53-64 / MCTS._leaf_values)
+        res = results_ref[0, v]
+        winner = jnp.where(
+            (res == 1) | (res == 3), 0,
+            jnp.where((res == 2) | (res == 4), 1, -1),
+        )
+        term_val = jnp.where(
+            winner < 0, 0.0,
+            jnp.where(tomove_ref[0, v] == winner, 1.0, -1.0),
+        )
+        val = jnp.where(res != ongoing, term_val, values_ref[0, v])
 
         # ---- expansion: install the leaf's top-K prior row -------------
         # Skip terminal leaves, the root (prepare_root owns it), and
@@ -424,9 +436,11 @@ def _expand_backup_kernel(
 
 def build_expand_backup_wave(engine, config, *, interpret: bool = False):
     """Returns run(tree_b, leaves, topk_vals, topk_aidx, leaf_results,
-    values) -> tree_b with every new leaf's edge row installed and all V
-    backups applied — replaces the expansion scatters + lockstep backup
-    walk of the XLA path with one kernel launch."""
+    values, leaf_to_move) -> tree_b with every new leaf's edge row
+    installed and all V backups applied — replaces the expansion scatters,
+    the terminal-value override, and the lockstep backup walk of the XLA
+    path with one kernel launch.  `values` are RAW network values; the
+    kernel swaps in the anchored game outcome for terminal leaves."""
     from ..types import ONGOING
 
     V = config.wave_size
@@ -453,7 +467,8 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
         (None, 1, w), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
     )
 
-    def run(tree: Tree, leaves, topk_vals, topk_aidx, leaf_results, values):
+    def run(tree: Tree, leaves, topk_vals, topk_aidx, leaf_results, values,
+            leaf_to_move):
         B = tree.n0.shape[0]
         padA = Ar * LANES - A
         padM = Mr * LANES - M
@@ -486,7 +501,7 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
             kernel,
             grid=(B,),
             in_specs=[
-                sspec, rowspec(V), rowspec(V), rowspec(V),
+                sspec, rowspec(V), rowspec(V), rowspec(V), rowspec(V),
                 vspec(V, K), vspec(V, K),
                 vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
                 vspec(Mr, LANES),
@@ -508,6 +523,7 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
             leaves[:, None, :],
             values.astype(f32)[:, None, :],
             leaf_results[:, None, :],
+            leaf_to_move.astype(i32)[:, None, :],
             topk_vals.astype(f32), topk_aidx,
             to_rows(tree.parent, padM, Mr),
             to_rows(tree.parent_slot, padM, Mr),

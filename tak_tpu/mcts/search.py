@@ -460,13 +460,13 @@ class MCTS:
             tree_b = jax.vmap(self._write_nodes)(
                 tree_b, leaves, created, leaf_states, leaf_results
             )
-            values = jax.vmap(self._leaf_values)(
-                tree_b, leaves, leaf_states, value
-            )
+            # raw NN values: the kernel swaps in anchored game outcomes
+            # for terminal leaves (MCTS._leaf_values semantics)
             return self._expand_backup(
                 tree_b, leaves,
                 vals.reshape(B, V, -1), aidx.reshape(B, V, -1),
-                leaf_results, values,
+                leaf_results, value,
+                leaf_states.to_move.reshape(B, V),
             )
 
         policy = policy.reshape(B, V, -1)
