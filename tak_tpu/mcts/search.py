@@ -70,6 +70,15 @@ class SearchConfig:
     # fits in VMEM, XLA otherwise; "xla" / "pallas" force; "pallas" on a
     # CPU host runs the kernel in interpreter mode (tests).
     backend: str = "auto"
+    # Gumbel root selection (Danihelka et al. 2022, "Policy improvement by
+    # planning with Gumbel"): 0 = off (reference PUCT parity).  When > 0,
+    # root descents follow a sequential-halving schedule over the top
+    # `gumbel_m` actions scored by g + log pi + sigma(q); use
+    # run_sims_gumbel / select_moves_gumbel.  Non-root selection stays
+    # PUCT.  XLA descent backend only (off the fused Pallas path).
+    gumbel_m: int = 0
+    gumbel_c_visit: float = 50.0
+    gumbel_c_scale: float = 1.0
 
     @property
     def num_waves(self) -> int:
@@ -110,7 +119,16 @@ class MCTS:
         cfg = self.config
         if cfg.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown search backend {cfg.backend!r}")
+        if cfg.gumbel_m > 0 and cfg.backend == "pallas":
+            raise ValueError(
+                "gumbel root selection runs on the XLA descent backend only"
+            )
         on_tpu = jax.default_backend() not in ("cpu",)
+        if cfg.gumbel_m > 0:
+            self._use_pallas = False
+            self._descend = lambda tree_b: jax.vmap(self._descend_wave)(tree_b)
+            self._fused_leaf_step = None
+            return
         fits = fits_in_vmem(cfg.max_nodes, cfg.max_children,
                             self.engine.num_actions)
         self._use_pallas = cfg.backend == "pallas" or (
@@ -168,6 +186,69 @@ class MCTS:
         scores = jnp.where(tree.root_legal, q + u, -jnp.inf)
         return _argmax_last(scores)
 
+    # -- gumbel root selection (sequential halving) --------------------------
+
+    @cached_property
+    def _considered_seq(self):
+        """Scheduled visit count for each root-descent index: sequential
+        halving over `gumbel_m` actions across the whole sim budget."""
+        import numpy as np
+
+        cfg = self.config
+        n = cfg.num_waves * cfg.wave_size
+        m = max(2, min(cfg.gumbel_m, self.engine.num_actions))
+        import math
+
+        phases = max(1, math.ceil(math.log2(m)))
+        seq: list[int] = []
+        visits = 0
+        considered = m
+        while len(seq) < n:
+            extra = max(1, n // (phases * considered))
+            for _ in range(extra):
+                seq.extend([visits] * considered)
+                visits += 1
+                if len(seq) >= n:
+                    break
+            considered = max(2, considered // 2)
+        return jnp.asarray(np.asarray(seq[:n], np.int32))
+
+    def _gumbel_scores(self, tree: Tree, gumbel):
+        """g + log(prior) + sigma(completed q) over the root actions ([A]).
+
+        sigma(q) = (c_visit + max_a N(a)) * c_scale * q; unvisited actions
+        complete q with the visit-weighted root value estimate.
+        """
+        cfg = self.config
+        n = tree.root_n.astype(jnp.float32)
+        visited = tree.root_n > 0
+        q = jnp.where(visited, tree.root_w / jnp.maximum(n, 1.0), 0.0)
+        total_n = jnp.sum(n)
+        v_mix = jnp.where(
+            total_n > 0, jnp.sum(tree.root_w) / jnp.maximum(total_n, 1.0), 0.0
+        )
+        qc = jnp.where(visited, q, v_mix)
+        maxn = jnp.max(tree.root_n).astype(jnp.float32)
+        sigma = (cfg.gumbel_c_visit + maxn) * cfg.gumbel_c_scale
+        logp = jnp.log(jnp.maximum(tree.root_prior, 1e-30))
+        scores = gumbel + logp + sigma * qc
+        return jnp.where(tree.root_legal, scores, -jnp.inf)
+
+    def _select_root_gumbel(self, tree: Tree, gumbel, sim_idx):
+        """Root action for descent `sim_idx`: among actions whose current
+        visit count matches the halving schedule, take the best score;
+        fall back to least-visited-best-scored if none matches (possible
+        when terminal shortcuts desync the schedule)."""
+        seq = self._considered_seq
+        target = seq[jnp.minimum(sim_idx, seq.shape[0] - 1)]
+        nvis = tree.root_n + tree.root_virt          # in-flight counts too
+        scores = self._gumbel_scores(tree, gumbel)
+        on_schedule = tree.root_legal & (nvis == target)
+        sel = jnp.where(on_schedule, scores, -jnp.inf)
+        fallback = scores - 1e7 * nvis.astype(jnp.float32)
+        use = jnp.where(jnp.any(on_schedule), sel, fallback)
+        return _argmax_last(use)
+
     def _select_edges(self, tree: Tree, cur, nv):
         """PUCT over the K edge rows of `cur` ([V]); nv = carried N(cur)."""
         ci = jnp.maximum(cur, 0)
@@ -182,9 +263,12 @@ class MCTS:
 
     # -- pipelined wave descents -------------------------------------------
 
-    def _descend_wave(self, tree: Tree):
+    def _descend_wave(self, tree: Tree, gumbel=None, sim_offset=None):
         """Run wave_size pipelined descents on one game's tree.
 
+        With `gumbel`/`sim_offset` set, root selection follows the
+        sequential-halving schedule (descent t uses sim index
+        sim_offset + t); non-root selection stays PUCT.
         Returns (tree, leaf [V], created [V]).
         """
         V = self.config.wave_size
@@ -202,7 +286,10 @@ class MCTS:
 
             # --- start cursor t at the root ----------------------------
             starting = t < V
-            a0 = self._select_root(tree)
+            if gumbel is None:
+                a0 = self._select_root(tree)
+            else:
+                a0 = self._select_root_gumbel(tree, gumbel, sim_offset + t)
             c0 = tree.root_child[a0]
             nv0 = tree.root_n[a0] + tree.root_virt[a0]  # pre-mark count
             mark0 = jnp.where(starting, a0, A)
@@ -392,11 +479,17 @@ class MCTS:
 
     # -- waves --------------------------------------------------------------
 
-    def _wave(self, params, tree_b: Tree):
+    def _wave(self, params, tree_b: Tree, gumbel=None, wave_idx=None):
         V = self.config.wave_size
         engine = self.engine
 
-        tree_b, leaves, created = self._descend(tree_b)  # [B, V]
+        if gumbel is None:
+            tree_b, leaves, created = self._descend(tree_b)  # [B, V]
+        else:
+            off = wave_idx * V
+            tree_b, leaves, created = jax.vmap(
+                lambda t, g: self._descend_wave(t, g, off)
+            )(tree_b, gumbel)
 
         # recompute every leaf's state with one batched env step:
         # leaf = step(state[parent], parent_action); root leaf = root state
@@ -518,6 +611,62 @@ class MCTS:
                 wave_step, tree_b, None, length=self.config.num_waves
             )
             return tree_b
+
+        return run
+
+    @cached_property
+    def run_sims_gumbel(self):
+        """Jitted full Gumbel search (config.gumbel_m > 0): one Gumbel
+        sample per game drives sequential halving at the root.  Dirichlet
+        noise is not used with Gumbel search (the noise IS the Gumbels)."""
+        if self.config.gumbel_m <= 0:
+            raise ValueError("set SearchConfig.gumbel_m > 0 for gumbel search")
+
+        @jax.jit
+        def run(params, tree_b: Tree, rng):
+            B, A = tree_b.root_prior.shape
+            gumbel = jax.random.gumbel(rng, (B, A))
+
+            def wave_step(tree_b, wave_idx):
+                return self._wave(params, tree_b, gumbel, wave_idx), None
+
+            tree_b, _ = jax.lax.scan(
+                wave_step, tree_b, jnp.arange(self.config.num_waves)
+            )
+            return tree_b, gumbel
+
+        return run
+
+    @cached_property
+    def select_moves_gumbel(self):
+        """Deterministic Gumbel move choice: argmax over visited root
+        actions of g + log pi + sigma(completed q) (the paper's A_{n+1})."""
+
+        @jax.jit
+        def run(tree_b: Tree, gumbel):
+            def per_game(tree, g):
+                scores = self._gumbel_scores(tree, g)
+                visited = tree.root_n > 0
+                sel = jnp.where(visited, scores, -jnp.inf)
+                use = jnp.where(jnp.any(visited), sel, scores)
+                return _argmax_last(use)
+
+            return jax.vmap(per_game)(tree_b, gumbel).astype(jnp.int32)
+
+        return run
+
+    @cached_property
+    def gumbel_policy_weights(self):
+        """Improved policy for training targets: softmax over legal actions
+        of log pi + sigma(completed q) (no Gumbel noise — the expectation)."""
+
+        @jax.jit
+        def run(tree_b: Tree):
+            def per_game(tree):
+                scores = self._gumbel_scores(tree, jnp.zeros_like(tree.root_w))
+                return jax.nn.softmax(scores)
+
+            return jax.vmap(per_game)(tree_b)
 
         return run
 

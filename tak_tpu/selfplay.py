@@ -69,6 +69,11 @@ class SelfPlayActor:
             )
         self.search_config = search
         self.mcts = MCTS(engine, eval_fn, search)
+        # Gumbel mode (search.gumbel_m > 0): sequential halving replaces
+        # PUCT at the root, the Gumbel sample replaces Dirichlet noise, and
+        # policy targets come from the improved policy softmax(log pi +
+        # sigma(q)) instead of visit counts (Danihelka et al. 2022).
+        self._gumbel = search.gumbel_m > 0
 
     # -- jitted helpers ------------------------------------------------------
 
@@ -257,19 +262,27 @@ class SelfPlayActor:
                 )
                 tree_stale[:] = False
             tree = self.mcts.prepare_root(params, tree)
-            noise_mask = jnp.asarray((plies < cfg.noise_plies) & active)
             jrng, k1, k2 = jax.random.split(jrng, 3)
-            tree = self.mcts.add_noise(
-                k1, tree, cfg.noise_alpha, cfg.noise_ratio, noise_mask
-            )
-            tree = self.mcts.run_sims(params, tree)
+            if self._gumbel:
+                tree, gumbel = self.mcts.run_sims_gumbel(params, tree, k1)
+                actions = self.mcts.select_moves_gumbel(tree, gumbel)
+            else:
+                noise_mask = jnp.asarray((plies < cfg.noise_plies) & active)
+                tree = self.mcts.add_noise(
+                    k1, tree, cfg.noise_alpha, cfg.noise_ratio, noise_mask
+                )
+                tree = self.mcts.run_sims(params, tree)
+                exploit = jnp.asarray(plies >= cfg.exploit_plies)
+                actions = self.mcts.select_moves(k2, tree, exploit)
             sims_done += cfg.search.num_sims * int(active.sum())
 
-            exploit = jnp.asarray(plies >= cfg.exploit_plies)
-            actions = self.mcts.select_moves(k2, tree, exploit)
-
-            # record examples (pre-move snapshot + root visit counts)
-            visits_all = np.asarray(jax.vmap(root_visit_counts)(tree))
+            # record examples: pre-move snapshot + root visit counts, or in
+            # gumbel mode the improved policy scaled to integer weights
+            if self._gumbel:
+                pi = np.asarray(self.mcts.gumbel_policy_weights(tree))
+                visits_all = np.round(pi * 65535.0).astype(np.int64)
+            else:
+                visits_all = np.asarray(jax.vmap(root_visit_counts)(tree))
             host_states = {
                 k: np.asarray(getattr(states, k)) for k in
                 ("stacks", "heights", "tops", "to_move", "ply", "stones",
