@@ -101,10 +101,10 @@ lt_j = jax.jit(lt)
 leaf_results = flat_states.result.reshape(B, V)
 def eb(tree_b, leaves, created, leaf_states, leaf_results, vals, aidx, value):
     tree_b = jax.vmap(mcts._write_nodes)(tree_b, leaves, created, leaf_states, leaf_results)
-    values = jax.vmap(mcts._leaf_values)(tree_b, leaves, leaf_states, value.reshape(B, V))
     return mcts._expand_backup(
         tree_b, leaves, vals.reshape(B, V, -1), aidx.reshape(B, V, -1),
-        leaf_results, values,
+        leaf_results, value.reshape(B, V),
+        leaf_states.to_move.reshape(B, V),
     )
 
 eb_j = jax.jit(eb)
