@@ -111,34 +111,61 @@ class MCTS:
         self._resolve_backend()
 
     def _resolve_backend(self):
-        """Pick the fused Pallas descent/expand+backup kernels or XLA paths."""
+        """Pick the fused Pallas descent/expand+backup kernels or XLA paths.
+
+        Three tiers: "pallas" = whole-tree-in-VMEM kernels (pallas_ops,
+        caps the node pool at ~1.5k — bench-size searches); "pallas_hbm"
+        = edge tier stays in HBM with per-row DMA (pallas_hbm, any pool
+        up to MAX_HBM_NODES — self-play's 10k rollouts, Player ponder
+        trees); "xla" = the vmapped lax.while_loop reference path.
+        "auto" picks vmem > hbm > xla on TPU, xla on CPU.
+        """
+        from .pallas_hbm import (
+            build_descend_wave_hbm, build_expand_backup_wave_hbm, fits_hbm,
+        )
         from .pallas_ops import (
             build_descend_wave, build_expand_backup_wave, fits_in_vmem,
         )
 
         cfg = self.config
-        if cfg.backend not in ("auto", "xla", "pallas"):
+        if cfg.backend not in ("auto", "xla", "pallas", "pallas_hbm"):
             raise ValueError(f"unknown search backend {cfg.backend!r}")
-        if cfg.gumbel_m > 0 and cfg.backend == "pallas":
+        if cfg.gumbel_m > 0 and cfg.backend.startswith("pallas"):
             raise ValueError(
                 "gumbel root selection runs on the XLA descent backend only"
             )
         on_tpu = jax.default_backend() not in ("cpu",)
         if cfg.gumbel_m > 0:
             self._use_pallas = False
+            self._pallas_kind = None
             self._descend = lambda tree_b: jax.vmap(self._descend_wave)(tree_b)
             self._fused_leaf_step = None
             return
-        fits = fits_in_vmem(cfg.max_nodes, cfg.max_children,
-                            self.engine.num_actions)
-        self._use_pallas = cfg.backend == "pallas" or (
-            cfg.backend == "auto" and on_tpu and fits
-        )
-        if self._use_pallas:
+        kind = None
+        if cfg.backend == "pallas":
+            kind = "vmem"
+        elif cfg.backend == "pallas_hbm":
+            kind = "hbm"
+        elif cfg.backend == "auto" and on_tpu:
+            if fits_in_vmem(cfg.max_nodes, cfg.max_children,
+                            self.engine.num_actions):
+                kind = "vmem"
+            elif fits_hbm(cfg.max_nodes):
+                kind = "hbm"
+        self._pallas_kind = kind
+        self._use_pallas = kind is not None
+        if kind == "vmem":
             self._descend = build_descend_wave(
                 self.engine, cfg, interpret=not on_tpu
             )
             self._expand_backup = build_expand_backup_wave(
+                self.engine, cfg, interpret=not on_tpu
+            )
+        elif kind == "hbm":
+            self._descend = build_descend_wave_hbm(
+                self.engine, cfg, interpret=not on_tpu
+            )
+            self._expand_backup = build_expand_backup_wave_hbm(
                 self.engine, cfg, interpret=not on_tpu
             )
         else:
