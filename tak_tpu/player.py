@@ -39,7 +39,10 @@ class Player:
         *,
         wave_size: int = 64,
         max_children: int = 96,
-        node_budget: int = 200_000,
+        # fits the HBM fused-kernel tier (pallas_hbm.MAX_HBM_NODES) while
+        # comfortably covering the 50k-rollout ponder cap
+        # (playtak/src/main.rs:32) plus a carried reuse subtree
+        node_budget: int = 131_072,
         save_examples: bool = False,
         create_analysis: bool = False,
     ):
