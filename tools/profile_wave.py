@@ -43,13 +43,20 @@ tree = mcts.prepare_root(variables, tree)
 print("use_pallas:", mcts._use_pallas, "max_nodes:", cfg.max_nodes)
 
 
+def _readback(out):
+    # block_until_ready does NOT wait on the axon backend; force a host
+    # readback of one scalar to drain the dispatch queue (see CLAUDE.md)
+    leaf = jax.tree.leaves(out)[0]
+    jax.device_get(leaf.ravel()[0])
+
+
 def timeit(name, fn, *args, reps=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     dt = (time.perf_counter() - t0) / reps
     print(f"{name:30s} {dt * 1e3:8.2f} ms")
     return out, dt
