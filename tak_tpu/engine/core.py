@@ -593,6 +593,17 @@ class Engine:
 
         return build_fused_step(self, block_g=block_g, interpret=interpret)
 
+    def fused_step_legal_fn(self, *, block_g: int = 128,
+                            interpret: bool = False):
+        """One-kernel (states, actions[, enabled]) -> (states, legal
+        [B, A] bool of the post-step state).  The wave's expansion needs
+        exactly this pair; emitting legality from the step kernel
+        replaces a whole separate XLA legal_mask pass."""
+        from .pallas_env import build_fused_step_legal
+
+        return build_fused_step_legal(self, block_g=block_g,
+                                      interpret=interpret)
+
     def env_rollout_fn(self, num_steps: int, *, block_g: int = 256,
                        interpret: bool = False):
         """One-kernel (states, seed) -> states after `num_steps` uniform-

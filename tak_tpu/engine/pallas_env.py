@@ -745,6 +745,166 @@ def build_fused_step(engine, *, block_g: int = 128, interpret: bool = False):
     return run
 
 
+def unpack_legal(engine, place, spread):
+    """Dense [B, A] bool legal mask from the packed kernel outputs
+    (place [B, n2] u32 bits 0..2; spread [B, 4, wp, n2] u32 pattern
+    words).  Reference semantics of Engine.legal_mask."""
+    n2 = engine.num_squares
+    P = num_patterns(engine.n)
+    B = place.shape[0]
+    wp = spread.shape[2]
+    bits3 = (
+        place[:, None, :] >> jnp.arange(3, dtype=_U32)[None, :, None]
+    ) & _U32(1)
+    bits32 = (
+        spread[:, :, :, None, :]
+        >> jnp.arange(32, dtype=_U32)[None, None, None, :, None]
+    ) & _U32(1)                                       # [B, 4, wp, 32, n2]
+    bitsP = bits32.reshape(B, 4, wp * 32, n2)[:, :, :P, :]
+    return jnp.concatenate(
+        [bits3.reshape(B, 3 * n2), bitsP.reshape(B, 4 * P * n2)], axis=1
+    ).astype(bool)
+
+
+def masked_topk_packed(engine, policy, place, spread, k):
+    """(vals, action_ids) of the top-k LEGAL policy entries per row.
+
+    Equivalent to top_k(where(legal, policy, -1), k) but fuses the packed
+    legal words (from `build_fused_step_legal`) straight into the masked
+    row: the spread channels are padded from P to wp*32 with -1 (a pad,
+    not a gather), the pattern-word bit test broadcasts into the where,
+    and the top-k indices are translated back to real action ids with
+    pure arithmetic.  Avoids materializing either the dense bool mask or
+    any [.., 32, ..] expansion separately from the masked row itself.
+    """
+    n2 = engine.num_squares
+    P = num_patterns(engine.n)
+    B = policy.shape[0]
+    wp = spread.shape[2]
+    W32 = wp * 32
+
+    pol_pl = policy[:, : 3 * n2].reshape(B, 3, n2)
+    bits3 = (
+        place[:, None, :] >> jnp.arange(3, dtype=_U32)[None, :, None]
+    ) & _U32(1)
+    masked_pl = jnp.where(bits3 != 0, pol_pl, -1.0)
+
+    pol_sp = policy[:, 3 * n2 :].reshape(B, 4, P, n2)
+    pol_sp = jnp.pad(
+        pol_sp, ((0, 0), (0, 0), (0, W32 - P), (0, 0)), constant_values=-1.0
+    ).reshape(B, 4, wp, 32, n2)
+    bit = (
+        spread[:, :, :, None, :]
+        >> jnp.arange(32, dtype=_U32)[None, None, None, :, None]
+    ) & _U32(1)
+    masked_sp = jnp.where(bit != 0, pol_sp, -1.0)
+
+    masked = jnp.concatenate(
+        [masked_pl.reshape(B, 3 * n2), masked_sp.reshape(B, 4 * W32 * n2)],
+        axis=1,
+    )
+    vals, sidx = jax.lax.top_k(masked, k)
+    # padded index -> real action id (same lexicographic order, so the
+    # reference's last-max tie behavior over equal priors is preserved)
+    t = sidx - 3 * n2
+    d = t // (W32 * n2)
+    p = (t // n2) % W32
+    q = t % n2
+    aidx = jnp.where(sidx < 3 * n2, sidx, (3 + d * P + p) * n2 + q)
+    return vals, aidx.astype(jnp.int32)
+
+
+def build_fused_step_legal(engine, *, block_g: int = 128,
+                           interpret: bool = False):
+    """run(states [B], actions [B] i32, enabled [B] bool|None) ->
+    (new_states, place [B, n2] u32, spread [B, 4, wp, n2] u32).
+
+    Like `build_fused_step`, but the kernel also emits the PACKED legal
+    bits of the post-step (possibly frozen) state — the wave's expansion
+    needs exactly this mask, and computing it where the state is already
+    in registers replaces a whole separate XLA legal_mask pass
+    (Engine.legal_mask parity; move_gen.rs semantics).  Consume with
+    `masked_topk_packed` (hot path) or `unpack_legal` (dense mask).
+    """
+    assert engine.words <= 2, "pallas engine kernels support sizes 3-6"
+    n, n2 = engine.n, engine.num_squares
+    P = num_patterns(n)
+    tables = _pattern_class_tables(n)
+    wp = tables[0]
+    A = engine.num_actions
+    G = block_g
+
+    def kernel(s0_r, s1_r, h_r, t_r, sc_r, act_r, en_r,
+               s0_o, s1_o, h_o, t_o, sc_o, pl_o, sp_o):
+        s0, s1 = s0_r[...], s1_r[...]
+        heights, tops, scal = h_r[...], t_r[...], sc_r[...]
+        action = act_r[...]
+        enabled = en_r[...] != 0
+
+        ns0, ns1, nh, nt, nsc = _step_core(n, s0, s1, heights, tops, scal, action)
+        res = _compute_result(n, ns0, ns1, nh, nt, nsc)
+        sci = jax.lax.broadcasted_iota(_I32, nsc.shape, 0)
+        nsc = jnp.where(sci == SC_RESULT, jnp.broadcast_to(res, nsc.shape), nsc)
+
+        done = (scal[SC_RESULT:SC_RESULT + 1] != ONGOING) | ~enabled
+        os0 = jnp.where(done, s0, ns0)
+        os1 = jnp.where(done, s1, ns1)
+        oh = jnp.where(done, heights, nh)
+        ot = jnp.where(done, tops, nt)
+        osc = jnp.where(done, scal, nsc)
+        s0_o[...] = os0
+        s1_o[...] = os1
+        h_o[...] = oh
+        t_o[...] = ot
+        sc_o[...] = osc
+
+        # legality of the OUTPUT state (callers gate terminal leaves)
+        place, spread = _legal_bits(n, tables, os0, os1, oh, ot, osc)
+        pl_o[...] = place
+        # rows: (d * wp + w) * n2 + q
+        sp_o[...] = jnp.concatenate(
+            [spread[d][w] for d in range(4) for w in range(wp)], 0
+        )
+
+    def run(states: GameState, actions, enabled=None):
+        B = actions.shape[0]
+        assert B % G == 0, (B, G)
+        s0, s1, heights, tops, scal = _pack_states(states)
+        if enabled is None:
+            en = jnp.ones((1, B), _I32)
+        else:
+            en = enabled.astype(_I32)[None, :]
+        act = actions.astype(_I32)[None, :]
+
+        rowspec = lambda rows: pl.BlockSpec(
+            (rows, G), lambda b: (0, b), memory_space=pltpu.VMEM
+        )
+        out_shapes = (
+            jax.ShapeDtypeStruct((n2, B), _U32),
+            jax.ShapeDtypeStruct((n2, B), _U32),
+            jax.ShapeDtypeStruct((n2, B), _I32),
+            jax.ShapeDtypeStruct((n2, B), _I32),
+            jax.ShapeDtypeStruct((SC_ROWS, B), _I32),
+            jax.ShapeDtypeStruct((n2, B), _U32),             # place bits
+            jax.ShapeDtypeStruct((4 * wp * n2, B), _U32),    # spread words
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B // G,),
+            in_specs=_state_specs(n2, G) + [rowspec(1), rowspec(1)],
+            out_specs=tuple(_state_specs(n2, G)) + (rowspec(n2),
+                                                    rowspec(4 * wp * n2)),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(s0, s1, heights, tops, scal, act, en)
+        new_states = _unpack_states(engine.words, *outs[:5])
+        place = outs[5].T                                # [B, n2]
+        spread = outs[6].T.reshape(B, 4, wp, n2)         # [B, 4, wp, n2]
+        return new_states, place, spread
+
+    return run
+
+
 def build_legal_sampler(engine, *, block_g: int = 128,
                         interpret: bool = False,
                         external_bits: bool = False):

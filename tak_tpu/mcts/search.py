@@ -70,6 +70,12 @@ class SearchConfig:
     # fits in VMEM, XLA otherwise; "xla" / "pallas" force; "pallas" on a
     # CPU host runs the kernel in interpreter mode (tests).
     backend: str = "auto"
+    # fold the leaf legal mask into the fused step kernel (packed words +
+    # fused masked top-k) instead of a separate XLA legal_mask pass.
+    # Measured 9% SLOWER end-to-end on this backend (docs/ROADMAP.md dead
+    # ends: the padded-row relayouts cost more than XLA's legal_mask);
+    # kept available for re-evaluation on other hardware.
+    fused_leaf_legal: bool = False
     # Gumbel root selection (Danihelka et al. 2022, "Policy improvement by
     # planning with Gumbel"): 0 = off (reference PUCT parity).  When > 0,
     # root descents follow a sequential-halving schedule over the top
@@ -170,13 +176,21 @@ class MCTS:
             )
         else:
             self._descend = lambda tree_b: jax.vmap(self._descend_wave)(tree_b)
-        # fused leaf step: one Pallas kernel for step+result of the whole
-        # wave's leaves (engine/pallas_env.py), replacing ~50 XLA kernels
+        # fused leaf step: one Pallas kernel for step+result+legality of
+        # the whole wave's leaves (engine/pallas_env.py), replacing ~50
+        # XLA kernels AND the separate XLA legal_mask pass
         self._fused_leaf_step = None
+        self._leaf_step_emits_legal = False
         if self._use_pallas and self.engine.fused_kernels_supported:
-            self._fused_leaf_step = self.engine.fused_step_fn(
-                block_g=128, interpret=not on_tpu
-            )
+            if cfg.fused_leaf_legal:
+                self._fused_leaf_step = self.engine.fused_step_legal_fn(
+                    block_g=128, interpret=not on_tpu
+                )
+                self._leaf_step_emits_legal = True
+            else:
+                self._fused_leaf_step = self.engine.fused_step_fn(
+                    block_g=128, interpret=not on_tpu
+                )
 
     # -- tree construction -------------------------------------------------
 
@@ -521,6 +535,7 @@ class MCTS:
         # recompute every leaf's state with one batched env step:
         # leaf = step(state[parent], parent_action); root leaf = root state
         B, V_ = leaves.shape
+        fused_legal = None  # (place, spread) packed words when available
         if self._fused_leaf_step is not None and (B * V_) % 128 == 0:
             # gather parent states / actions (XLA), then one fused kernel
             def gather_parents(tree, ls):
@@ -538,9 +553,15 @@ class MCTS:
             # a root leaf (index 0) re-evaluates the root: disabled games
             # come back frozen = the gathered root state itself
             enabled = (leaves != 0).reshape(-1)
-            flat_leaf_states = self._fused_leaf_step(
-                flat_parents, acts.reshape(-1), enabled
-            )
+            if self._leaf_step_emits_legal:
+                flat_leaf_states, pl_pk, sw_pk = self._fused_leaf_step(
+                    flat_parents, acts.reshape(-1), enabled
+                )
+                fused_legal = (pl_pk, sw_pk)
+            else:
+                flat_leaf_states = self._fused_leaf_step(
+                    flat_parents, acts.reshape(-1), enabled
+                )
             leaf_states = jax.tree.map(
                 lambda x: x.reshape((B, V_) + x.shape[1:]), flat_leaf_states
             )
@@ -574,9 +595,16 @@ class MCTS:
         if self._use_pallas:
             # top-K prior selection stays in XLA; the row installs and
             # the V backup walks happen in one fused kernel
-            legal = jax.vmap(engine.legal_mask)(flat_states)
-            masked = jnp.where(legal, policy, -1.0)
-            vals, aidx = jax.lax.top_k(masked, self.config.max_children)
+            if fused_legal is not None:
+                from ..engine.pallas_env import masked_topk_packed
+
+                vals, aidx = masked_topk_packed(
+                    engine, policy, *fused_legal, self.config.max_children
+                )
+            else:
+                legal = jax.vmap(engine.legal_mask)(flat_states)
+                masked = jnp.where(legal, policy, -1.0)
+                vals, aidx = jax.lax.top_k(masked, self.config.max_children)
             tree_b = jax.vmap(self._write_nodes)(
                 tree_b, leaves, created, leaf_states, leaf_results
             )

@@ -76,6 +76,51 @@ def test_fused_step_freezes_done_and_disabled(n):
 
 
 @pytest.mark.parametrize("n", SIZES)
+def test_fused_step_legal_parity(n):
+    """step+legal kernel == XLA step followed by XLA legal_mask, exactly
+    (including frozen finished/disabled games); the fused masked-top-k
+    over the packed words == top_k(where(legal, policy, -1))."""
+    from tak_tpu.engine.pallas_env import (
+        build_fused_step_legal, masked_topk_packed, unpack_legal,
+    )
+
+    engine = Engine(n)
+    fused = build_fused_step_legal(engine, block_g=B, interpret=True)
+    rng = np.random.default_rng(400 + n)
+    states = engine.initial_batch(B, 3)
+    K = 16
+    for ply in range(12):
+        masks = np.asarray(jax.vmap(engine.legal_mask)(states))
+        acts = np.zeros(B, np.int32)
+        for g in range(B):
+            legal = np.nonzero(masks[g])[0]
+            acts[g] = rng.choice(legal) if len(legal) else 0
+        enabled = jnp.asarray(rng.random(B) < 0.9)
+        ref = engine.batched_step_masked(states, jnp.asarray(acts), enabled)
+        ref_legal = np.asarray(jax.vmap(engine.legal_mask)(ref))
+        got, place, spread = fused(states, jnp.asarray(acts), enabled)
+        assert_states_equal(got, ref, f"n={n} ply={ply}")
+        np.testing.assert_array_equal(
+            np.asarray(unpack_legal(engine, place, spread)), ref_legal,
+            err_msg=f"n={n} ply={ply} legal",
+        )
+        policy = jnp.asarray(
+            rng.random((B, engine.num_actions)).astype(np.float32)
+        )
+        rv, ri = jax.lax.top_k(jnp.where(ref_legal, policy, -1.0), K)
+        gv, gi = masked_topk_packed(engine, policy, place, spread, K)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(rv), rtol=0,
+                                   err_msg=f"n={n} ply={ply} topk vals")
+        # indices must agree wherever the value is legal (>= 0)
+        sel = np.asarray(rv) >= 0
+        np.testing.assert_array_equal(
+            np.asarray(gi)[sel], np.asarray(ri)[sel],
+            err_msg=f"n={n} ply={ply} topk idx",
+        )
+        states = engine.batched_step(states, jnp.asarray(acts))
+
+
+@pytest.mark.parametrize("n", SIZES)
 @pytest.mark.parametrize("plies", [0, 1, 9, 40])
 def test_sampler_legal_and_counts(n, plies):
     """Sampled actions are legal; reported totals equal the legal count."""
