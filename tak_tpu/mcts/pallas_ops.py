@@ -559,6 +559,451 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
     return run
 
 
+# ---------------------------------------------------------------------------
+# Merged backup+descend kernel: apply the PREVIOUS wave's expansions and
+# value backups, then run this wave's descents — one kernel launch and ONE
+# tree DMA round-trip instead of two.  The scan carries the pending
+# evaluation results; a trailing expand_backup flushes the last wave.
+# Semantics are bit-identical to expand_backup followed by descend.
+# ---------------------------------------------------------------------------
+
+def _backup_descend_kernel(
+    # inputs
+    scal_ref,            # SMEM (1, 4) i32: n0, virt0, next_free, valid
+    leaves_ref,          # SMEM (1, V) i32   (pending wave)
+    values_ref,          # SMEM (1, V) f32
+    results_ref,         # SMEM (1, V) i32
+    tomove_ref,          # SMEM (1, V) i32
+    topk_vals_ref,       # (V, K) f32
+    topk_aidx_ref,       # (V, K) i32
+    root_prior_ref,      # (Ar, 128) f32
+    root_bias_ref,       # (Ar, 128) f32
+    root_n_in,           # (Ar, 128) i32
+    root_virt_in,        # (Ar, 128) i32
+    root_w_in,           # (Ar, 128) f32
+    root_child_in,       # (Ar, 128) i32
+    edge_action_in,      # (M, K) i32
+    edge_prior_in,       # (M, K) f32
+    edge_child_in,       # (M, K) i32
+    edge_n_in,           # (M, K) i32
+    edge_virt_in,        # (M, K) i32
+    edge_w_in,           # (M, K) f32
+    expanded_in,         # (Mr, 128) i32
+    parent_in,           # (Mr, 128) i32
+    parent_slot_in,      # (Mr, 128) i32
+    parent_action_in,    # (Mr, 128) i32
+    # outputs
+    scal_out,            # SMEM (1, 4) i32
+    root_n_out,
+    root_virt_out,
+    root_w_out,
+    root_child_out,
+    edge_action_out,
+    edge_prior_out,
+    edge_child_out,
+    edge_n_out,
+    edge_virt_out,
+    edge_w_out,
+    expanded_out,
+    parent_out,
+    parent_slot_out,
+    parent_action_out,
+    leaf_ref,            # (1, V) i32
+    created_ref,         # (1, V) i32
+    *,
+    V: int,
+    M: int,
+    K: int,
+    Ar: int,
+    base: float,
+    init: float,
+    ongoing: int,
+):
+    # carry mutable state through to the outputs
+    root_n_out[...] = root_n_in[...]
+    root_virt_out[...] = root_virt_in[...]
+    root_w_out[...] = root_w_in[...]
+    root_child_out[...] = root_child_in[...]
+    edge_action_out[...] = edge_action_in[...]
+    edge_prior_out[...] = edge_prior_in[...]
+    edge_child_out[...] = edge_child_in[...]
+    edge_n_out[...] = edge_n_in[...]
+    edge_virt_out[...] = edge_virt_in[...]
+    edge_w_out[...] = edge_w_in[...]
+    expanded_out[...] = expanded_in[...]
+    parent_out[...] = parent_in[...]
+    parent_slot_out[...] = parent_slot_in[...]
+    parent_action_out[...] = parent_action_in[...]
+    leaf_ref[...] = jnp.zeros((1, V), jnp.int32)
+    created_ref[...] = jnp.zeros((1, V), jnp.int32)
+
+    aidx = _flat_iota(Ar, LANES)
+    kidx = _lane_iota((1, K))
+    vidx = _lane_iota((1, V))
+    valid = scal_ref[0, 3] != 0
+
+    # ---- phase 1: expansions + value backups of the pending wave --------
+    def one_backup(v, carry):
+        n0, virt0 = carry
+        cur = leaves_ref[0, v]
+        res = results_ref[0, v]
+        winner = jnp.where(
+            (res == 1) | (res == 3), 0,
+            jnp.where((res == 2) | (res == 4), 1, -1),
+        )
+        term_val = jnp.where(
+            winner < 0, 0.0,
+            jnp.where(tomove_ref[0, v] == winner, 1.0, -1.0),
+        )
+        val = jnp.where(res != ongoing, term_val, values_ref[0, v])
+
+        was_expanded = _read_flat(expanded_out, cur) != 0
+        do_expand = (res == ongoing) & (cur != 0) & ~was_expanded
+
+        @pl.when(do_expand)
+        def _():
+            va = topk_vals_ref[pl.ds(v, 1), :]
+            ai = topk_aidx_ref[pl.ds(v, 1), :]
+            okm = va >= 0.0
+            edge_action_out[pl.ds(cur, 1), :] = jnp.where(okm, ai, NONE)
+            edge_prior_out[pl.ds(cur, 1), :] = jnp.where(okm, va, 0.0)
+            zi = jnp.zeros((1, K), jnp.int32)
+            edge_n_out[pl.ds(cur, 1), :] = zi
+            edge_virt_out[pl.ds(cur, 1), :] = zi
+            edge_w_out[pl.ds(cur, 1), :] = jnp.zeros((1, K), jnp.float32)
+            edge_child_out[pl.ds(cur, 1), :] = jnp.full((1, K), NONE, jnp.int32)
+            _write_flat(expanded_out, cur, 1)
+
+        def wcond(c):
+            return c[0] != NONE
+
+        def wbody(c):
+            cur, sign, n0, virt0 = c
+            p = _read_flat(parent_out, cur)
+            s = _read_flat(parent_slot_out, cur)
+            a = _read_flat(parent_action_out, cur)
+            is_root_edge = (p == 0) & (s == NONE)
+            is_edge = (p != NONE) & ~is_root_edge
+            at_root = cur == 0
+
+            @pl.when(is_root_edge)
+            def _():
+                oh = aidx == a
+                ohi = oh.astype(jnp.int32)
+                root_n_out[...] = root_n_out[...] + ohi
+                root_virt_out[...] = root_virt_out[...] - ohi
+                root_w_out[...] = root_w_out[...] + jnp.where(
+                    oh, sign * val, 0.0
+                )
+
+            @pl.when(is_edge)
+            def _():
+                row_n = edge_n_out[pl.ds(p, 1), :]
+                row_v = edge_virt_out[pl.ds(p, 1), :]
+                row_w = edge_w_out[pl.ds(p, 1), :]
+                oh = _lane_iota(row_n.shape) == s
+                ohi = oh.astype(jnp.int32)
+                edge_n_out[pl.ds(p, 1), :] = row_n + ohi
+                edge_virt_out[pl.ds(p, 1), :] = row_v - ohi
+                edge_w_out[pl.ds(p, 1), :] = row_w + jnp.where(
+                    oh, sign * val, 0.0
+                )
+
+            n0 = n0 + jnp.where(at_root, 1, 0)
+            virt0 = virt0 - jnp.where(at_root, 1, 0)
+            return (p, -sign, n0, virt0)
+
+        _, _, n0, virt0 = jax.lax.while_loop(
+            wcond, wbody, (cur, jnp.float32(-1.0), n0, virt0)
+        )
+        return (n0, virt0)
+
+    # run the backup loop only when there is a pending wave; n0/virt0
+    # escape the pl.when block through the SMEM output row
+    scal_out[0, 0] = scal_ref[0, 0]
+    scal_out[0, 1] = scal_ref[0, 1]
+
+    @pl.when(valid)
+    def _():
+        n0_, virt0_ = jax.lax.fori_loop(
+            0, V, one_backup, (scal_ref[0, 0], scal_ref[0, 1])
+        )
+        scal_out[0, 0] = n0_
+        scal_out[0, 1] = virt0_
+
+    n0 = scal_out[0, 0]
+    virt0 = scal_out[0, 1]
+
+    # ---- phase 2: this wave's V sequential virtual-loss descents ---------
+    def one_descent(v, carry):
+        virt0, next_free = carry
+
+        rv = root_virt_out[...]
+        rn = root_n_out[...]
+        tot = (rn + rv).astype(jnp.float32)
+        q = jnp.where(
+            tot > 0,
+            (root_w_out[...] - rv.astype(jnp.float32))
+            / jnp.maximum(tot, 1.0),
+            0.0,
+        )
+        n0f = (n0 + virt0).astype(jnp.float32)
+        u = (
+            _c_puct(n0f, base, init)
+            * root_prior_ref[...]
+            * jnp.sqrt(n0f)
+            / (1.0 + tot)
+        )
+        scores = q + u + root_bias_ref[...]
+        a0 = _last_argmax(scores, aidx)
+        onehot = aidx == a0
+        c0 = jnp.sum(jnp.where(onehot, root_child_out[...], 0))
+        nv0 = jnp.sum(jnp.where(onehot, rn + rv, 0))
+        root_virt_out[...] = rv + onehot.astype(jnp.int32)
+        virt0 = virt0 + 1
+
+        create0 = (c0 == NONE) & (next_free < M)
+
+        @pl.when(create0)
+        def _():
+            root_child_out[...] = jnp.where(
+                onehot, next_free, root_child_out[...]
+            )
+            _write_flat(parent_out, next_free, 0)
+            _write_flat(parent_slot_out, next_free, NONE)
+            _write_flat(parent_action_out, next_free, a0)
+
+        leaf_v = jnp.where(create0, next_free, 0)
+        created_v = jnp.where(create0, 1, 0)
+        next_free = next_free + jnp.where(create0, 1, 0)
+        cur = jnp.where(create0, NONE, c0)
+
+        def wcond(c):
+            return c[0] != NONE
+
+        def wbody(c):
+            cur, nv, leaf_v, created_v, nf = c
+            exp = _read_flat(expanded_out, cur) != 0
+
+            ea = edge_action_out[pl.ds(cur, 1), :]
+            ev = edge_virt_out[pl.ds(cur, 1), :]
+            en = edge_n_out[pl.ds(cur, 1), :]
+            ec = edge_child_out[pl.ds(cur, 1), :]
+            tot = (en + ev).astype(jnp.float32)
+            q = jnp.where(
+                tot > 0,
+                (edge_w_out[pl.ds(cur, 1), :] - ev.astype(jnp.float32))
+                / jnp.maximum(tot, 1.0),
+                0.0,
+            )
+            npf = nv.astype(jnp.float32)
+            u = (
+                _c_puct(npf, base, init)
+                * edge_prior_out[pl.ds(cur, 1), :]
+                * jnp.sqrt(npf)
+                / (1.0 + tot)
+            )
+            scores = jnp.where(ea != NONE, q + u, _NEG_INF)
+            slot = _last_argmax(scores, kidx)
+            oh = kidx == slot
+            action = jnp.sum(jnp.where(oh, ea, 0))
+            child = jnp.sum(jnp.where(oh, ec, 0))
+            cnv = jnp.sum(jnp.where(oh, en + ev, 0))
+
+            want_create = exp & (child == NONE)
+            ok_create = want_create & (nf < M)
+
+            @pl.when(exp)
+            def _():
+                edge_virt_out[pl.ds(cur, 1), :] = ev + oh.astype(jnp.int32)
+
+            @pl.when(ok_create)
+            def _():
+                edge_child_out[pl.ds(cur, 1), :] = jnp.where(oh, nf, ec)
+                _write_flat(parent_out, nf, cur)
+                _write_flat(parent_slot_out, nf, slot)
+                _write_flat(parent_action_out, nf, action)
+
+            stopping = ~exp | want_create
+            new_leaf = jnp.where(ok_create, nf, cur)
+            leaf_v = jnp.where(stopping, new_leaf, leaf_v)
+            created_v = jnp.where(ok_create, 1, created_v)
+            nf = nf + jnp.where(ok_create, 1, 0)
+            nxt = jnp.where(stopping, NONE, child)
+            nv = jnp.where(stopping, nv, cnv)
+            return (nxt, nv, leaf_v, created_v, nf)
+
+        cur, _, leaf_v, created_v, next_free = jax.lax.while_loop(
+            wcond, wbody, (cur, nv0, leaf_v, created_v, next_free)
+        )
+
+        is_v = vidx == v
+        leaf_ref[...] = jnp.where(is_v, leaf_v, leaf_ref[...])
+        created_ref[...] = jnp.where(is_v, created_v, created_ref[...])
+        return (virt0, next_free)
+
+    virt0, next_free = jax.lax.fori_loop(
+        0, V, one_descent, (virt0, scal_ref[0, 2])
+    )
+    scal_out[0, 0] = n0
+    scal_out[0, 1] = virt0
+    scal_out[0, 2] = next_free
+    scal_out[0, 3] = 0
+
+
+def build_backup_descend_wave(engine, config, *, interpret: bool = False):
+    """Returns run(tree_b, pending) -> (tree_b, leaves, created) where
+    `pending` is (leaves [B,V], topk_vals [B,V,K], topk_aidx [B,V,K],
+    leaf_results [B,V], values [B,V], leaf_to_move [B,V], valid [] i32).
+    With valid=0 the backup phase is skipped (first wave)."""
+    from ..types import ONGOING
+
+    V = config.wave_size
+    M = config.max_nodes
+    K = config.max_children
+    A = engine.num_actions
+    Ar = _cdiv(A, LANES)
+    Mr = _cdiv(M, LANES)
+
+    kernel = partial(
+        _backup_descend_kernel,
+        V=V, M=M, K=K, Ar=Ar,
+        base=float(config.exploration_base),
+        init=float(config.exploration_init),
+        ongoing=int(ONGOING),
+    )
+
+    vspec = lambda *shape: pl.BlockSpec(
+        (None,) + shape, lambda g: (g,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    sspec = pl.BlockSpec(
+        (None, 1, 4), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+    )
+    rowspec = lambda w: pl.BlockSpec(
+        (None, 1, w), lambda g: (g, 0, 0), memory_space=pltpu.SMEM
+    )
+    ospec2 = lambda w: pl.BlockSpec(
+        (None, 1, w), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    def run(tree: Tree, pending):
+        (p_leaves, p_vals, p_aidx, p_results, p_values, p_tomove,
+         valid) = pending
+        B = tree.n0.shape[0]
+        padA = Ar * LANES - A
+        padM = Mr * LANES - M
+
+        def to_rows(x, pad, rows, fill=0):
+            return jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill).reshape(
+                B, rows, LANES
+            )
+
+        scal = jnp.stack(
+            [tree.n0, tree.virt0, tree.next_free,
+             jnp.broadcast_to(valid.astype(jnp.int32), tree.n0.shape)], -1
+        )[:, None, :]
+        root_bias = jnp.where(tree.root_legal, 0.0, _NEG_INF)
+
+        f32 = jnp.float32
+        i32 = jnp.int32
+        out_shapes = (
+            jax.ShapeDtypeStruct((B, 1, 4), i32),         # scal
+            jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_n
+            jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_virt
+            jax.ShapeDtypeStruct((B, Ar, LANES), f32),    # root_w
+            jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_child
+            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_action
+            jax.ShapeDtypeStruct((B, M, K), f32),         # edge_prior
+            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_child
+            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_n
+            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_virt
+            jax.ShapeDtypeStruct((B, M, K), f32),         # edge_w
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # expanded
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_slot
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_action
+            jax.ShapeDtypeStruct((B, 1, V), i32),         # leaf
+            jax.ShapeDtypeStruct((B, 1, V), i32),         # created
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                sspec,
+                rowspec(V), rowspec(V), rowspec(V), rowspec(V),
+                vspec(V, K), vspec(V, K),
+                vspec(Ar, LANES), vspec(Ar, LANES),
+                vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
+                vspec(Ar, LANES),
+                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
+                vspec(Mr, LANES),
+            ],
+            out_specs=(
+                sspec,
+                vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
+                vspec(Ar, LANES),
+                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
+                vspec(Mr, LANES),
+                ospec2(V), ospec2(V),
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(
+            scal,
+            p_leaves[:, None, :],
+            p_values.astype(f32)[:, None, :],
+            p_results[:, None, :],
+            p_tomove.astype(i32)[:, None, :],
+            p_vals.astype(f32), p_aidx,
+            to_rows(tree.root_prior.astype(f32), padA, Ar),
+            to_rows(root_bias, padA, Ar, fill=_NEG_INF),
+            to_rows(tree.root_n, padA, Ar),
+            to_rows(tree.root_virt, padA, Ar),
+            to_rows(tree.root_w.astype(f32), padA, Ar),
+            to_rows(tree.root_child, padA, Ar, fill=NONE),
+            tree.edge_action, tree.edge_prior.astype(f32), tree.edge_child,
+            tree.edge_n, tree.edge_virt, tree.edge_w.astype(f32),
+            to_rows(tree.expanded.astype(i32), padM, Mr),
+            to_rows(tree.parent, padM, Mr),
+            to_rows(tree.parent_slot, padM, Mr),
+            to_rows(tree.parent_action, padM, Mr),
+        )
+        (scal_o, rn_o, rv_o, rw_o, rc_o,
+         ea_o, ep_o, ec_o, en_o, ev_o, ew_o,
+         exp_o, p_o, ps_o, pa_o, leaf, created) = outs
+
+        def from_rows(x, n):
+            return x.reshape(B, -1)[:, :n]
+
+        tree = tree.replace(
+            root_n=from_rows(rn_o, A),
+            root_virt=from_rows(rv_o, A),
+            root_w=from_rows(rw_o, A),
+            root_child=from_rows(rc_o, A),
+            edge_action=ea_o,
+            edge_prior=ep_o,
+            edge_child=ec_o,
+            edge_n=en_o,
+            edge_virt=ev_o,
+            edge_w=ew_o,
+            expanded=from_rows(exp_o, M).astype(bool),
+            parent=from_rows(p_o, M),
+            parent_slot=from_rows(ps_o, M),
+            parent_action=from_rows(pa_o, M),
+            n0=scal_o[:, 0, 0],
+            virt0=scal_o[:, 0, 1],
+            next_free=scal_o[:, 0, 2],
+        )
+        return tree, leaf[:, 0, :], created[:, 0, :].astype(bool)
+
+    return run
+
+
 def build_descend_wave(engine, config, *, interpret: bool = False):
     """Returns run(tree_b) -> (tree_b, leaves [B,V] i32, created [B,V] bool),
     a drop-in replacement for vmap(MCTS._descend_wave)."""

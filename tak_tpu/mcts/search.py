@@ -141,11 +141,13 @@ class MCTS:
                 "gumbel root selection runs on the XLA descent backend only"
             )
         on_tpu = jax.default_backend() not in ("cpu",)
+        self._backup_descend = None
         if cfg.gumbel_m > 0:
             self._use_pallas = False
             self._pallas_kind = None
             self._descend = lambda tree_b: jax.vmap(self._descend_wave)(tree_b)
             self._fused_leaf_step = None
+            self._leaf_step_emits_legal = False
             return
         kind = None
         if cfg.backend == "pallas":
@@ -161,10 +163,17 @@ class MCTS:
         self._pallas_kind = kind
         self._use_pallas = kind is not None
         if kind == "vmem":
+            from .pallas_ops import build_backup_descend_wave
+
             self._descend = build_descend_wave(
                 self.engine, cfg, interpret=not on_tpu
             )
             self._expand_backup = build_expand_backup_wave(
+                self.engine, cfg, interpret=not on_tpu
+            )
+            # merged kernel for the pipelined scan (one tree DMA round
+            # per wave instead of two; bit-identical semantics)
+            self._backup_descend = build_backup_descend_wave(
                 self.engine, cfg, interpret=not on_tpu
             )
         elif kind == "hbm":
@@ -520,20 +529,11 @@ class MCTS:
 
     # -- waves --------------------------------------------------------------
 
-    def _wave(self, params, tree_b: Tree, gumbel=None, wave_idx=None):
-        V = self.config.wave_size
+    def _leaf_states_of(self, tree_b: Tree, leaves):
+        """Recompute every leaf's state with one batched env step:
+        leaf = step(state[parent], parent_action); root leaf = root state.
+        Returns (leaf_states [B, V, ...], fused_legal-or-None)."""
         engine = self.engine
-
-        if gumbel is None:
-            tree_b, leaves, created = self._descend(tree_b)  # [B, V]
-        else:
-            off = wave_idx * V
-            tree_b, leaves, created = jax.vmap(
-                lambda t, g: self._descend_wave(t, g, off)
-            )(tree_b, gumbel)
-
-        # recompute every leaf's state with one batched env step:
-        # leaf = step(state[parent], parent_action); root leaf = root state
         B, V_ = leaves.shape
         fused_legal = None  # (place, spread) packed words when available
         if self._fused_leaf_step is not None and (B * V_) % 128 == 0:
@@ -584,45 +584,90 @@ class MCTS:
                 return jax.vmap(one_leaf)(ls)
 
             leaf_states = jax.vmap(leaf_states_one)(tree_b, leaves)  # [B, V, ...]
+        return leaf_states, fused_legal
+
+    def _eval_and_topk(self, params, tree_b: Tree, leaves, created):
+        """Shared middle of a pallas wave: step + write leaf nodes +
+        evaluate + top-K legal priors.  Returns (tree_b, pending) where
+        `pending` is everything the expand+backup kernel consumes."""
+        engine = self.engine
+        V = self.config.wave_size
+        B = leaves.shape[0]
+        leaf_states, fused_legal = self._leaf_states_of(tree_b, leaves)
         flat_states = jax.tree.map(
             lambda x: x.reshape((-1,) + x.shape[2:]), leaf_states
         )
         policy, value = self.eval_fn(params, flat_states)
-        B = leaves.shape[0]
         value = value.reshape(B, V)
         leaf_results = flat_states.result.reshape(B, V)
 
+        # top-K prior selection stays in XLA; the row installs and
+        # the V backup walks happen in one fused kernel
+        if fused_legal is not None:
+            from ..engine.pallas_env import masked_topk_packed
+
+            vals, aidx = masked_topk_packed(
+                engine, policy, *fused_legal, self.config.max_children
+            )
+        else:
+            legal = jax.vmap(engine.legal_mask)(flat_states)
+            masked = jnp.where(legal, policy, -1.0)
+            vals, aidx = jax.lax.top_k(masked, self.config.max_children)
+        tree_b = jax.vmap(self._write_nodes)(
+            tree_b, leaves, created, leaf_states, leaf_results
+        )
+        # raw NN values: the expand+backup kernel swaps in anchored game
+        # outcomes for terminal leaves (MCTS._leaf_values semantics)
+        pending = (
+            leaves, vals.reshape(B, V, -1), aidx.reshape(B, V, -1),
+            leaf_results, value, leaf_states.to_move.reshape(B, V),
+        )
+        return tree_b, pending
+
+    def _wave(self, params, tree_b: Tree, gumbel=None, wave_idx=None):
+        V = self.config.wave_size
+        engine = self.engine
+
+        if gumbel is None:
+            tree_b, leaves, created = self._descend(tree_b)  # [B, V]
+        else:
+            off = wave_idx * V
+            tree_b, leaves, created = jax.vmap(
+                lambda t, g: self._descend_wave(t, g, off)
+            )(tree_b, gumbel)
+
         if self._use_pallas:
-            # top-K prior selection stays in XLA; the row installs and
-            # the V backup walks happen in one fused kernel
-            if fused_legal is not None:
-                from ..engine.pallas_env import masked_topk_packed
-
-                vals, aidx = masked_topk_packed(
-                    engine, policy, *fused_legal, self.config.max_children
-                )
-            else:
-                legal = jax.vmap(engine.legal_mask)(flat_states)
-                masked = jnp.where(legal, policy, -1.0)
-                vals, aidx = jax.lax.top_k(masked, self.config.max_children)
-            tree_b = jax.vmap(self._write_nodes)(
-                tree_b, leaves, created, leaf_states, leaf_results
+            tree_b, pending = self._eval_and_topk(
+                params, tree_b, leaves, created
             )
-            # raw NN values: the kernel swaps in anchored game outcomes
-            # for terminal leaves (MCTS._leaf_values semantics)
-            return self._expand_backup(
-                tree_b, leaves,
-                vals.reshape(B, V, -1), aidx.reshape(B, V, -1),
-                leaf_results, value,
-                leaf_states.to_move.reshape(B, V),
-            )
+            return self._expand_backup(tree_b, *pending)
 
+        B = leaves.shape[0]
+        leaf_states, _ = self._leaf_states_of(tree_b, leaves)
+        flat_states = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), leaf_states
+        )
+        policy, value = self.eval_fn(params, flat_states)
+        value = value.reshape(B, V)
+        leaf_results = flat_states.result.reshape(B, V)
         policy = policy.reshape(B, V, -1)
         tree_b = jax.vmap(self._write_and_expand)(
             tree_b, leaves, created, leaf_states, leaf_results, policy
         )
         values = jax.vmap(self._leaf_values)(tree_b, leaves, leaf_states, value)
         return jax.vmap(self._backup_xla)(tree_b, leaves, values)
+
+    def _wave_pipelined(self, params, tree_b: Tree, pending):
+        """One pipelined wave: apply the previous wave's expansions and
+        backups fused with this wave's descents (one merged kernel), then
+        step/evaluate the new leaves.  `pending` carries the evaluation
+        results between scan iterations (valid=0 on the first wave);
+        callers must flush the final pending with `_expand_backup`."""
+        tree_b, leaves, created = self._backup_descend(tree_b, pending)
+        tree_b, new_pending = self._eval_and_topk(
+            params, tree_b, leaves, created
+        )
+        return tree_b, new_pending + (jnp.int32(1),)
 
     # -- public API ----------------------------------------------------------
 
@@ -655,7 +700,44 @@ class MCTS:
 
     @cached_property
     def run_sims(self):
-        """Jitted full search: scan `num_waves` waves over the batch of trees."""
+        """Jitted full search: scan `num_waves` waves over the batch of
+        trees.  On the VMEM pallas tier the scan is software-pipelined:
+        each iteration runs ONE merged backup+descend kernel (the
+        previous wave's expansions/backups fused with this wave's
+        descents), and a trailing expand_backup flushes the last wave —
+        bit-identical results, one tree DMA round per wave instead of
+        two."""
+        if self._backup_descend is not None:
+            V = self.config.wave_size
+            K = self.config.max_children
+
+            @jax.jit
+            def run_pipelined(params, tree_b: Tree):
+                B = tree_b.n0.shape[0]
+                zero_pending = (
+                    jnp.zeros((B, V), jnp.int32),
+                    jnp.zeros((B, V, K), jnp.float32),
+                    jnp.zeros((B, V, K), jnp.int32),
+                    jnp.zeros((B, V), jnp.int32),
+                    jnp.zeros((B, V), jnp.float32),
+                    jnp.zeros((B, V), jnp.int32),
+                    jnp.int32(0),
+                )
+
+                def wave_step(carry, _):
+                    tree_b, pending = carry
+                    tree_b, pending = self._wave_pipelined(
+                        params, tree_b, pending
+                    )
+                    return (tree_b, pending), None
+
+                (tree_b, pending), _ = jax.lax.scan(
+                    wave_step, (tree_b, zero_pending), None,
+                    length=self.config.num_waves,
+                )
+                return self._expand_backup(tree_b, *pending[:-1])
+
+            return run_pipelined
 
         @jax.jit
         def run(params, tree_b: Tree):
