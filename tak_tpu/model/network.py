@@ -69,6 +69,48 @@ class Network:
     # -- inference -----------------------------------------------------------
 
     @cached_property
+    def _folded_model(self):
+        import dataclasses
+
+        return TakResNet(dataclasses.replace(self.config, fold_bn=True))
+
+    def _fold_bn(self, variables):
+        """Fold BatchNorm running statistics into the conv kernels/biases
+        (y = gamma*(conv+b-mean)/sqrt(var+eps) + beta folds to a scaled
+        kernel and shifted bias).  Standard inference deployment fold;
+        removes every BN op from the forward.  Tiny (a few scalar-vector
+        multiplies per layer), so it runs inside the jitted eval."""
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        eps = 1e-5  # flax nn.BatchNorm default
+
+        def fold(conv_p, bn_p, bn_s):
+            s = bn_p["scale"] / jnp.sqrt(bn_s["var"] + eps)
+            return {
+                "kernel": conv_p["kernel"] * s,
+                "bias": (conv_p["bias"] - bn_s["mean"]) * s + bn_p["bias"],
+            }
+
+        folded = {}
+        for name, p in params.items():
+            if name.startswith("BatchNorm"):
+                continue
+            if name == "Conv_0":  # stem
+                folded[name] = fold(p, params["BatchNorm_0"],
+                                    stats["BatchNorm_0"])
+            elif name.startswith("ResBlock"):
+                bs = stats[name]
+                folded[name] = {
+                    "Conv_0": fold(p["Conv_0"], p["BatchNorm_0"],
+                                   bs["BatchNorm_0"]),
+                    "Conv_1": fold(p["Conv_1"], p["BatchNorm_1"],
+                                   bs["BatchNorm_1"]),
+                }
+            else:  # policy/value heads (no BN)
+                folded[name] = p
+        return {"params": folded}
+
+    @cached_property
     def _policy_eval(self):
         dense = self.config.policy_head == "dense"
         if dense:
@@ -80,7 +122,9 @@ class Network:
 
         @jax.jit
         def run(variables, planes):
-            logits, value = self.model.apply(variables, planes, train=False)
+            logits, value = self._folded_model.apply(
+                self._fold_bn(variables), planes, train=False
+            )
             probs = jax.nn.softmax(logits, axis=-1)
             if dense:
                 # scatter the legacy-list softmax into the channel-scheme

@@ -34,6 +34,10 @@ class NetConfig:
     blocks: int = 8
     policy_head: str = "conv"  # "conv" | "dense"
     dtype: type = jnp.bfloat16
+    # inference-only variant: BatchNorm is folded into the conv kernels/
+    # biases (Network._fold_bn), so the module skips BN entirely.  Conv
+    # parameter names are unchanged, so folded params line up.
+    fold_bn: bool = False
 
     @staticmethod
     def for_size(n: int) -> "NetConfig":
@@ -50,14 +54,17 @@ class NetConfig:
 class ResBlock(nn.Module):
     filters: int
     dtype: type
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         y = nn.Conv(self.filters, (3, 3), padding=1, dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        if not self.fold_bn:
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), padding=1, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        if not self.fold_bn:
+            y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
         return nn.relu(y + x)
 
 
@@ -72,10 +79,11 @@ class TakResNet(nn.Module):
         n = cfg.n
         x = x.astype(cfg.dtype)
         x = nn.Conv(cfg.filters, (3, 3), padding=1, dtype=cfg.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=cfg.dtype)(x)
+        if not cfg.fold_bn:
+            x = nn.BatchNorm(use_running_average=not train, dtype=cfg.dtype)(x)
         x = nn.relu(x)
         for _ in range(cfg.blocks):
-            x = ResBlock(cfg.filters, cfg.dtype)(x, train)
+            x = ResBlock(cfg.filters, cfg.dtype, cfg.fold_bn)(x, train)
 
         if cfg.policy_head == "conv":
             p = nn.Conv(move_channels(n), (3, 3), padding=1, dtype=cfg.dtype)(x)
