@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pit-rollouts", type=int, default=800)
     p.add_argument("--generations", type=int, default=None,
                    help="stop after N generations (default: run forever)")
+    p.add_argument("--quad-rollout-plies", type=int, default=0,
+                   help="sequential (workers=1) mode: 4x rollouts while "
+                        "ply < N (reference self_play.rs:19,63-67)")
     p.add_argument("--chunk-size", type=int, default=None,
                    help="training chunk size (default 500, network.rs:19)")
     p.add_argument("--chunks-in-step", type=int, default=None,
@@ -93,6 +96,7 @@ def main(argv=None):
         selfplay=SelfPlayConfig(
             games=args.games, workers=args.workers, komi=args.komi,
             search=SearchConfig(num_sims=args.rollouts, wave_size=args.wave),
+            quad_rollout_plies=args.quad_rollout_plies,
         ),
         pit=PitConfig(
             games=args.pit_games, komi=args.komi,

@@ -53,20 +53,32 @@ class SelfPlayConfig:
     instant_win_scan: bool = True
     tree_reuse: bool = True      # keep the played subtree (play.rs:26-43)
     max_plies: int = 400         # safety valve for pathological games
+    # reference sequential self-play quadruples rollouts while
+    # ply < QUAD_ROLLOUT_PLIES (self_play.rs:19,63-67); exact for
+    # workers == 1 (the only configuration the reference uses it in)
+    quad_rollout_plies: int = 0
 
 
 class SelfPlayActor:
     def __init__(self, engine: Engine, eval_fn, config: SelfPlayConfig):
         self.engine = engine
         self.config = config
+        if config.quad_rollout_plies > 0 and config.workers != 1:
+            raise ValueError(
+                "quad_rollout_plies matches the reference's SEQUENTIAL "
+                "self-play (self_play.rs:21-92) and requires workers=1"
+            )
         search = config.search
-        if config.tree_reuse and search.node_budget is None:
-            # carried subtree (< num_sims nodes) + one move's simulations
+        if search.node_budget is None:
+            # carried subtree (< num_sims nodes) + one move's simulations;
+            # quad-rollout moves search up to 4x num_sims
             import dataclasses
 
-            search = dataclasses.replace(
-                search, node_budget=2 * search.num_sims + 2
+            per_move = search.num_sims * (
+                4 if config.quad_rollout_plies > 0 else 1
             )
+            budget = per_move + 2 + (per_move if config.tree_reuse else 0)
+            search = dataclasses.replace(search, node_budget=budget)
         self.search_config = search
         self.mcts = MCTS(engine, eval_fn, search)
         # Gumbel mode (search.gumbel_m > 0): sequential halving replaces
@@ -272,9 +284,15 @@ class SelfPlayActor:
                     k1, tree, cfg.noise_alpha, cfg.noise_ratio, noise_mask
                 )
                 tree = self.mcts.run_sims(params, tree)
+                if (cfg.quad_rollout_plies > 0
+                        and int(plies[0]) < cfg.quad_rollout_plies):
+                    for _ in range(3):  # 4x total (self_play.rs:63-67)
+                        tree = self.mcts.run_sims(params, tree)
                 exploit = jnp.asarray(plies >= cfg.exploit_plies)
                 actions = self.mcts.select_moves(k2, tree, exploit)
-            sims_done += cfg.search.num_sims * int(active.sum())
+            factor = 4 if (cfg.quad_rollout_plies > 0
+                           and int(plies[0]) < cfg.quad_rollout_plies) else 1
+            sims_done += factor * cfg.search.num_sims * int(active.sum())
 
             # record examples: pre-move snapshot + root visit counts, or in
             # gumbel mode the improved policy scaled to integer weights

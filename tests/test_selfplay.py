@@ -48,6 +48,36 @@ def test_selfplay_generation(engine, reuse):
     assert all(int(ex.state["ply"]) >= 2 for ex in examples)
 
 
+def test_quad_rollout_sequential(engine):
+    """Sequential (workers=1) self-play quadruples rollouts while
+    ply < quad_rollout_plies (self_play.rs:19,63-67): early-move examples
+    carry ~4x the visit mass of late-move ones."""
+    cfg = SelfPlayConfig(
+        games=1, workers=1, komi=0,
+        search=SearchConfig(num_sims=24, wave_size=4, max_children=16),
+        noise_plies=0, exploit_plies=0, instant_win_scan=False,
+        quad_rollout_plies=6,
+    )
+    actor = SelfPlayActor(engine, dummy_eval(engine), cfg)
+    examples = actor.run(None, seed=3, log=lambda m: None)
+    assert examples
+    early = [int(ex.visits.sum()) for ex in examples
+             if int(ex.state["ply"]) < 6]
+    late = [int(ex.visits.sum()) for ex in examples
+            if int(ex.state["ply"]) >= 6]
+    assert early and late, "game ended before/inside quad window"
+    # tree reuse carries a few subtree visits across moves, so compare
+    # magnitudes rather than exact counts
+    assert min(early) >= 4 * 24 - 8, early
+    assert np.mean(early) > 3 * np.mean(late), (early, late)
+
+    with pytest.raises(ValueError):
+        SelfPlayActor(
+            engine, dummy_eval(engine),
+            SelfPlayConfig(workers=2, quad_rollout_plies=6),
+        )
+
+
 def test_masked_step_freezes(engine):
     states = engine.initial_batch(4, 0)
     acts = jnp.zeros(4, jnp.int32)
