@@ -29,8 +29,12 @@ ENV_BATCH = int(os.environ.get("BENCH_ENV_BATCH", 8192))
 ENV_STEPS = int(os.environ.get("BENCH_ENV_STEPS", 64))
 MCTS_BATCH = int(os.environ.get("BENCH_MCTS_BATCH", 512))
 MCTS_SIMS = int(os.environ.get("BENCH_MCTS_SIMS", 512))
-MCTS_WAVE = int(os.environ.get("BENCH_MCTS_WAVE", 16))
-MCTS_K = int(os.environ.get("BENCH_MCTS_K", 64))
+# Wave 64 / K 32 are measured optima for this sims budget: unique-node
+# creation stays 513/514 at wave<=64 (no duplicate descents), and the
+# root policy is bitwise-identical to K=96 at 512 sims (TV distance 0;
+# K only starts to bind at ~8).  See docs/ROADMAP.md.
+MCTS_WAVE = int(os.environ.get("BENCH_MCTS_WAVE", 64))
+MCTS_K = int(os.environ.get("BENCH_MCTS_K", 32))
 
 
 def bench_env(engine):
