@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wave", type=int, default=8, help="descents per NN batch")
     p.add_argument("--pit-games", type=int, default=128)
     p.add_argument("--pit-rollouts", type=int, default=800)
+    p.add_argument("--win-rate-threshold", type=float, default=0.55,
+                   help="gate acceptance win rate (main.rs:28)")
     p.add_argument("--generations", type=int, default=None,
                    help="stop after N generations (default: run forever)")
     p.add_argument("--quad-rollout-plies", type=int, default=0,
@@ -103,6 +105,7 @@ def main(argv=None):
             search=SearchConfig(num_sims=args.pit_rollouts, wave_size=16),
         ),
         generations=args.generations,
+        win_rate_threshold=args.win_rate_threshold,
         workdir=args.workdir,
     )
     if args.chunk_size or args.chunks_in_step:

@@ -164,7 +164,12 @@ def _descend_kernel_hbm(
         onehot = aidx == a0
         c0 = jnp.sum(jnp.where(onehot, root_child_out[...], 0))
         nv0 = jnp.sum(jnp.where(onehot, rn + rv, 0))
-        root_virt_out[...] = rv + onehot.astype(jnp.int32)
+        # no mark on a pool-full rootward create failure (leak otherwise;
+        # see pallas_ops._descend_kernel)
+        proceed0 = (c0 != NONE) | (next_free < M)
+        root_virt_out[...] = rv + jnp.where(
+            proceed0, onehot.astype(jnp.int32), 0
+        )
         virt0 = virt0 + 1
 
         create0 = (c0 == NONE) & (next_free < M)

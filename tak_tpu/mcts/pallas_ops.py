@@ -186,8 +186,14 @@ def _descend_kernel(
         onehot = aidx == a0
         c0 = jnp.sum(jnp.where(onehot, root_child_out[...], 0))
         nv0 = jnp.sum(jnp.where(onehot, rn + rv, 0))
-        # mark the virtual visit (pre-mark nv0, as upstream)
-        root_virt_out[...] = rv + onehot.astype(jnp.int32)
+        # mark the virtual visit (pre-mark nv0, as upstream) — but only
+        # when the descent can proceed: a pool-full rootward create
+        # failure degrades to a root re-eval whose backup never reaches
+        # this edge, so marking would leak a virtual visit per descent
+        proceed0 = (c0 != NONE) | (next_free < M)
+        root_virt_out[...] = rv + jnp.where(
+            proceed0, onehot.astype(jnp.int32), 0
+        )
         virt0 = virt0 + 1
 
         create0 = (c0 == NONE) & (next_free < M)
@@ -759,7 +765,12 @@ def _backup_descend_kernel(
         onehot = aidx == a0
         c0 = jnp.sum(jnp.where(onehot, root_child_out[...], 0))
         nv0 = jnp.sum(jnp.where(onehot, rn + rv, 0))
-        root_virt_out[...] = rv + onehot.astype(jnp.int32)
+        # no mark on a pool-full rootward create failure (leak otherwise;
+        # see _descend_kernel)
+        proceed0 = (c0 != NONE) | (next_free < M)
+        root_virt_out[...] = rv + jnp.where(
+            proceed0, onehot.astype(jnp.int32), 0
+        )
         virt0 = virt0 + 1
 
         create0 = (c0 == NONE) & (next_free < M)

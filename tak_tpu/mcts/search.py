@@ -342,7 +342,13 @@ class MCTS:
                 a0 = self._select_root_gumbel(tree, gumbel, sim_offset + t)
             c0 = tree.root_child[a0]
             nv0 = tree.root_n[a0] + tree.root_virt[a0]  # pre-mark count
-            mark0 = jnp.where(starting, a0, A)
+            # mark the root edge's virtual loss only when the descent can
+            # proceed: if the pool is full AND the action has no child, the
+            # leaf degrades to a root re-eval whose backup never reaches
+            # this edge, so an unconditional mark would LEAK a virtual
+            # visit per descent (starving root_n once the pool fills)
+            proceed0 = (c0 != NONE) | (tree.next_free < M)
+            mark0 = jnp.where(starting & proceed0, a0, A)
             root_virt = tree.root_virt.at[mark0].add(1, mode="drop")
             virt0 = tree.virt0 + jnp.where(starting, 1, 0)
             root_create = starting & (c0 == NONE) & (tree.next_free < M)

@@ -148,6 +148,11 @@ class Player:
                 self.tree, jnp.array([action]), new_states
             )
             self._root_prepared = False
+            # a carried subtree that nearly fills the node pool would
+            # starve subsequent searches (full-pool descents back up into
+            # n0 only); drop the tree and restart fresh instead
+            if int(self.tree.next_free[0]) > self.mcts.config.max_nodes // 2:
+                self.tree = None
 
     # -- results -------------------------------------------------------------
 

@@ -23,6 +23,7 @@ quota is met.  Reference-parity behaviors:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from functools import cached_property
@@ -79,6 +80,9 @@ class SelfPlayActor:
             )
             budget = per_move + 2 + (per_move if config.tree_reuse else 0)
             search = dataclasses.replace(search, node_budget=budget)
+        self._per_move_sims = search.num_sims * (
+            4 if config.quad_rollout_plies > 0 else 1
+        )
         self.search_config = search
         self.mcts = MCTS(engine, eval_fn, search)
         # Gumbel mode (search.gumbel_m > 0): sequential halving replaces
@@ -316,11 +320,47 @@ class SelfPlayActor:
                 ))
 
             # play the chosen moves
+            if os.environ.get("TAK_DEBUG_LEGAL"):
+                legal_now = np.asarray(self._batched_legal(states))
+                acts_np = np.asarray(actions)
+                viz = np.asarray(jax.vmap(root_visit_counts)(tree))
+                for i in range(B):
+                    if active[i] and not legal_now[i, acts_np[i]]:
+                        np.savez(
+                            "/tmp/tak_illegal_action.npz",
+                            game=i, action=acts_np[i], at_ply=plies[i],
+                            visits=viz[i],
+                            t_root_n=np.asarray(tree.root_n[i]),
+                            t_root_virt=np.asarray(tree.root_virt[i]),
+                            t_root_legal=np.asarray(tree.root_legal[i]),
+                            t_root_prior=np.asarray(tree.root_prior[i]),
+                            t_root_child=np.asarray(tree.root_child[i]),
+                            t_expanded0=np.asarray(tree.expanded[i, 0]),
+                            t_n0=np.asarray(tree.n0[i]),
+                            t_virt0=np.asarray(tree.virt0[i]),
+                            t_next_free=np.asarray(tree.next_free[i]),
+                            t_result0=np.asarray(tree.result[i, 0]),
+                            **{"s_" + k: np.asarray(getattr(states, k))
+                               for k in ("stacks", "heights", "tops",
+                                         "to_move", "ply", "stones", "caps",
+                                         "result")},
+                        )
+                        raise AssertionError(
+                            f"illegal action {acts_np[i]} chosen for game "
+                            f"{i} at ply {plies[i]} (visits sum "
+                            f"{viz[i].sum()}); dump: /tmp/tak_illegal_action.npz"
+                        )
             states = self._masked_step(states, actions, jnp.asarray(active))
             results = np.asarray(states.result)
             if cfg.tree_reuse:
                 # carry each game's played subtree into the next search
                 tree = self._reroot_batch(tree, actions, states)
+                # a carried subtree that nearly fills the pool would starve
+                # the next search (a full pool backs up into n0 only,
+                # leaving root_n empty and select_moves blind) — blank
+                # those trees instead of carrying them
+                room = self.search_config.max_nodes - self._per_move_sims
+                tree_stale |= np.asarray(tree.next_free) > room
             new_plies = np.asarray(states.ply)
 
             reset_mask = np.zeros(B, bool)

@@ -91,3 +91,21 @@ def test_visit_conservation():
     assert int(tree.virt0[0]) == 0
     # root children visits sum to the number of simulations
     assert int(jnp.sum(tree.root_n)) == 128
+
+
+def test_pool_full_no_virtual_leak():
+    """When the node pool fills mid-search, descents degrade to root
+    re-evals; they must NOT leak root-edge virtual losses (a leak starves
+    root_n and blinds select_moves once trees are reused)."""
+    engine = get_engine(3)
+    g = Game.from_ptn_moves(3, ["a3", "c3", "c2", "a2"])
+    cfg = SearchConfig(num_sims=96, wave_size=4, max_children=16,
+                       node_budget=12)  # fills almost immediately
+    mcts = MCTS(engine, dummy_eval(engine), cfg)
+    tree = run_search(mcts, g)
+    assert int(tree.next_free[0]) == 12
+    assert int(jnp.sum(tree.root_virt)) == 0, "leaked root virtual losses"
+    assert int(jnp.sum(tree.edge_virt)) == 0
+    assert int(tree.virt0[0]) == 0
+    # visits still accumulated on the materialized children
+    assert int(jnp.sum(tree.root_n)) > 0
