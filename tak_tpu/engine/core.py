@@ -593,6 +593,46 @@ class Engine:
 
         return build_fused_step(self, block_g=block_g, interpret=interpret)
 
+    def wins_in_one_fused_fn(self, *, block_g: int = 128,
+                             interpret: bool = False):
+        """Batched instant-win scan through the fused step kernel:
+        (states [B]) -> wins [B, A] bool.  Steps every (game, action)
+        pair in ONE kernel launch (illegal pairs ride the kernel's freeze
+        path), ~50x cheaper than vmapping the XLA step over B*A pairs.
+        Same semantics as `wins_in_one` (self_play.rs:119-137 parity)."""
+        from ..types import result_winner
+        from .pallas_env import build_fused_step
+
+        fused = build_fused_step(self, block_g=block_g, interpret=interpret)
+        A = self.num_actions
+
+        @jax.jit
+        def run(states: GameState):
+            B = states.ply.shape[0]
+            rows = B * A
+            pad = (-rows) % block_g
+            legal = jax.vmap(self.legal_mask)(states)           # [B, A]
+
+            def tile(x):
+                rep = jnp.repeat(x, A, axis=0)
+                if pad:
+                    rep = jnp.concatenate(
+                        [rep, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]
+                    )
+                return rep
+
+            rep = jax.tree.map(tile, states)
+            acts = jnp.tile(jnp.arange(A, dtype=jnp.int32), B)
+            enabled = legal.reshape(-1)
+            if pad:
+                acts = jnp.concatenate([acts, jnp.zeros(pad, jnp.int32)])
+                enabled = jnp.concatenate([enabled, jnp.zeros(pad, bool)])
+            stepped = fused(rep, acts, enabled)
+            winner = result_winner(stepped.result[:rows]).reshape(B, A)
+            return (winner == states.to_move[:, None]) & legal
+
+        return run
+
     def fused_step_legal_fn(self, *, block_g: int = 128,
                             interpret: bool = False):
         """One-kernel (states, actions[, enabled]) -> (states, legal

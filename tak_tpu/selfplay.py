@@ -172,6 +172,9 @@ class SelfPlayActor:
 
     @cached_property
     def _batched_wins(self):
+        if (jax.default_backend() != "cpu"
+                and self.engine.fused_kernels_supported):
+            return self.engine.wins_in_one_fused_fn()
         return jax.jit(jax.vmap(self.engine.wins_in_one))
 
     @cached_property

@@ -44,3 +44,27 @@ def test_flat_count_win_detected():
     assert np.array_equal(wins, brute)
     # white places a2 -> board full, white up on flats (wins.rs:17-24)
     assert wins[g.engine.tables.ptn_to_action("a2")]
+
+
+def test_fused_wins_scan_parity():
+    """wins_in_one_fused_fn (one fused-step-kernel launch over all
+    (game, action) pairs) == vmapped wins_in_one, exactly."""
+    import jax.numpy as jnp
+
+    from tak_tpu.engine.core import get_engine
+
+    engine = get_engine(5)
+    games = [
+        Game.from_ptn_moves(5, ["a1", "e5"]),
+        Game.from_ptn_moves(5, ["a5", "e1", "b1", "d5", "b2", "d4", "b3",
+                                "d3", "b4"]),  # black b5 road threat zone
+        Game.from_ptn_moves(5, ["a1", "e5", "c3", "c4", "d3", "d4", "b3",
+                                "b4"]),
+    ]
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[g.state for g in games]
+    )
+    ref = np.asarray(jax.vmap(engine.wins_in_one)(states))
+    fused = engine.wins_in_one_fused_fn(block_g=8, interpret=True)
+    got = np.asarray(fused(states))
+    np.testing.assert_array_equal(got, ref)
