@@ -70,7 +70,7 @@ def main(argv=None):
         pit=PitConfig(
             games=args.games, komi=args.komi,
             search=SearchConfig(num_sims=args.rollouts, wave_size=args.wave,
-                                max_children=96),
+                                max_children=128),
         ),
         schedule="adjacent" if args.adjacent else "round_robin",
     )

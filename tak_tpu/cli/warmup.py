@@ -64,7 +64,7 @@ def main(argv=None):
     pit = None if args.no_pit else PitConfig(
         games=args.pit_games, komi=args.komi,
         search=SearchConfig(num_sims=args.pit_rollouts, wave_size=16,
-                            max_children=96),
+                            max_children=128),
     )
     warmup_generation(engine, network, sp, pit, chunk_size=args.chunk_size)
 

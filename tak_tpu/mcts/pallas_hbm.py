@@ -62,8 +62,11 @@ from .tree import NONE, Tree
 MAX_HBM_NODES = 140_000
 
 
-def fits_hbm(max_nodes: int) -> bool:
-    return max_nodes <= MAX_HBM_NODES
+def fits_hbm(max_nodes: int, k: int = LANES) -> bool:
+    # Mosaic requires the per-row HBM slices to be lane-aligned: the edge
+    # tier's trailing dim K must be a multiple of 128 for this tier
+    # (interpret mode does not enforce this — compiled TPU does).
+    return max_nodes <= MAX_HBM_NODES and k % LANES == 0
 
 
 def _fetch_rows(sems, pairs):

@@ -62,7 +62,7 @@ EXPLORATION_INIT = 4.0
 class SearchConfig:
     num_sims: int = 10_000      # rollouts per move (self_play.rs:12)
     wave_size: int = 8          # descents per game between NN evals
-    max_children: int = 96      # K: stored edges per non-root node
+    max_children: int = 128     # K: stored edges per non-root node (lane-aligned: the HBM tier requires K % 128 == 0)
     node_budget: int | None = None  # tree capacity; default fits num_sims
     exploration_base: float = EXPLORATION_BASE
     exploration_init: float = EXPLORATION_INIT
@@ -153,12 +153,17 @@ class MCTS:
         if cfg.backend == "pallas":
             kind = "vmem"
         elif cfg.backend == "pallas_hbm":
+            if on_tpu and cfg.max_children % 128 != 0:
+                raise ValueError(
+                    "pallas_hbm requires max_children % 128 == 0 on TPU "
+                    "(HBM row slices must be lane-aligned)"
+                )
             kind = "hbm"
         elif cfg.backend == "auto" and on_tpu:
             if fits_in_vmem(cfg.max_nodes, cfg.max_children,
                             self.engine.num_actions):
                 kind = "vmem"
-            elif fits_hbm(cfg.max_nodes):
+            elif fits_hbm(cfg.max_nodes, cfg.max_children):
                 kind = "hbm"
         self._pallas_kind = kind
         self._use_pallas = kind is not None

@@ -33,7 +33,7 @@ class PitConfig:
     komi: int = 2
     search: SearchConfig = field(
         default_factory=lambda: SearchConfig(num_sims=800, wave_size=16,
-                                             max_children=96)
+                                             max_children=128)
     )
     random_plies: int = 2        # RANDOM_PLIES (pit.rs:9)
     max_plies: int = 400

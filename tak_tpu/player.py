@@ -38,7 +38,7 @@ class Player:
         game: Game,
         *,
         wave_size: int = 64,
-        max_children: int = 96,
+        max_children: int = 128,
         # fits the HBM fused-kernel tier (pallas_hbm.MAX_HBM_NODES) while
         # comfortably covering the 50k-rollout ponder cap
         # (playtak/src/main.rs:32) plus a carried reuse subtree

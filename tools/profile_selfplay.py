@@ -32,7 +32,7 @@ WORKERS = int(os.environ.get("SP_WORKERS", 32))
 SIMS = int(os.environ.get("SP_SIMS", 10000))
 MOVES = int(os.environ.get("SP_MOVES", 6))
 WAVE = int(os.environ.get("SP_WAVE", 16))
-K = int(os.environ.get("SP_K", 96))
+K = int(os.environ.get("SP_K", 128))
 
 engine = get_engine(N)
 net = Network(engine)
