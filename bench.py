@@ -29,11 +29,13 @@ ENV_BATCH = int(os.environ.get("BENCH_ENV_BATCH", 8192))
 ENV_STEPS = int(os.environ.get("BENCH_ENV_STEPS", 64))
 MCTS_BATCH = int(os.environ.get("BENCH_MCTS_BATCH", 512))
 MCTS_SIMS = int(os.environ.get("BENCH_MCTS_SIMS", 512))
-# Wave 64 / K 32 are measured optima for this sims budget: unique-node
-# creation stays 513/514 at wave<=64 (no duplicate descents), and the
-# root policy is bitwise-identical to K=96 at 512 sims (TV distance 0;
-# K only starts to bind at ~8).  See docs/ROADMAP.md.
-MCTS_WAVE = int(os.environ.get("BENCH_MCTS_WAVE", 64))
+# K=32 is quality-neutral at this sims budget (root policy identical to
+# K=96, TV distance 0; binds only near K~8).  Wave=32 sits inside the
+# production range (self-play waves 8-16, Player 64); larger waves score
+# higher (V=64 -> 141.7k, V=128 -> 145.4k sims/s) but add virtual-loss
+# staleness — the measured wave/quality tradeoff curve is in
+# docs/ROADMAP.md.
+MCTS_WAVE = int(os.environ.get("BENCH_MCTS_WAVE", 32))
 MCTS_K = int(os.environ.get("BENCH_MCTS_K", 32))
 
 

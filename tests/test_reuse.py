@@ -111,3 +111,47 @@ def test_reroot_unvisited_action_degrades_to_fresh():
     new_tree = mcts.prepare_root(None, new_tree)
     new_tree = mcts.run_sims(None, new_tree)
     assert int(new_tree.n0[0]) == 1 + cfg.num_sims
+
+
+def test_player_drops_oversized_carried_tree():
+    """Player blanks a re-rooted tree whose carried subtree would starve
+    the next search's node pool (regression: pool-starved searches back
+    up into n0 only, leaving select_moves blind)."""
+    import jax.numpy as jnp
+
+    from tak_tpu.engine.core import get_engine
+    from tak_tpu.game import Game
+    from tak_tpu.player import Player
+
+    engine = get_engine(3)
+    A = engine.num_actions
+
+    def eval_fn(params, states):
+        b = states.ply.shape[0]
+        return jnp.ones((b, A), jnp.float32), jnp.zeros(b, jnp.float32)
+
+    game = Game.with_komi(3, 0)
+    player = Player(engine, eval_fn, None, game, wave_size=8,
+                    node_budget=24)
+    for mv in ("a1", "c3"):
+        player.play_move(mv, with_info=False)
+    player.rollout()
+    # force the carried tree past the guard threshold: every child of the
+    # root must stay materialized so the re-rooted subtree stays "big"
+    mv = player.pick_move(True)
+    big = player.tree.replace(
+        next_free=jnp.full_like(player.tree.next_free, 23)
+    )
+    # simulate reroot keeping most of the pool: patch _reroot to report a
+    # large compacted size
+    orig = player._reroot
+    player._reroot = lambda t, a, s: orig(t, a, s).replace(
+        next_free=jnp.full_like(t.next_free, 20)
+    )
+    player.tree = big
+    player.play_move(mv, with_info=False)
+    assert player.tree is None  # oversized carry dropped
+    # and the player still searches fine afterwards
+    player._reroot = orig
+    player.rollout()
+    assert int(player.tree.n0[0]) > 0
