@@ -61,6 +61,16 @@ from .tree import NONE, Tree
 # pipeline with headroom for the root tier and scratch.
 MAX_HBM_NODES = 140_000
 
+# Hot top-of-tree cache: the first CACHE_ROWS node rows of each edge
+# array are bulk-DMA'd into VMEM scratch at kernel start, served from
+# VMEM during the walk (no per-row DMA latency; node allocation order
+# correlates with depth, so shallow/hot nodes live here), and flushed
+# back in one bulk copy at kernel end.  6 arrays x 512 x K(128) x 4B
+# ~ 1.6MB of scratch.  Measured at the reference self-play config:
+# T=512/1024 -> 12.3k/12.2k sims/s (baseline 10.5k); T=2048 collapses
+# to 7.2k (the 6.3MB scratch breaks the grid pipeline).
+CACHE_ROWS = 512
+
 
 def fits_hbm(max_nodes: int, k: int = LANES) -> bool:
     # Mosaic requires the per-row HBM slices to be lane-aligned: the edge
@@ -117,12 +127,14 @@ def _descend_kernel_hbm(
     created_ref,         # (1, V) i32
     # scratch
     s_ea, s_ep, s_en, s_ew, s_ev, s_ec,   # (1, K) rows
+    c_ea, c_ep, c_en, c_ew, c_ev, c_ec,   # (T, K) hot-row caches
     sems,                # DMA semaphores (6,)
     *,
     V: int,
     M: int,
     K: int,
     Ar: int,
+    T: int,
     base: float,
     init: float,
 ):
@@ -136,6 +148,16 @@ def _descend_kernel_hbm(
     parent_action_out[...] = parent_action_in[...]
     leaf_ref[...] = jnp.zeros((1, V), jnp.int32)
     created_ref[...] = jnp.zeros((1, V), jnp.int32)
+
+    # load the hot top-of-tree into VMEM (one bulk DMA per array)
+    _fetch_rows(sems, [
+        (edge_action_hbm.at[g, pl.ds(0, T), :], c_ea),
+        (edge_prior_hbm.at[g, pl.ds(0, T), :], c_ep),
+        (edge_n_hbm.at[g, pl.ds(0, T), :], c_en),
+        (edge_w_hbm.at[g, pl.ds(0, T), :], c_ew),
+        (edge_virt_out.at[g, pl.ds(0, T), :], c_ev),
+        (edge_child_out.at[g, pl.ds(0, T), :], c_ec),
+    ])
 
     n0 = scal_ref[0, 0]
     aidx = _flat_iota(Ar, LANES)
@@ -199,30 +221,39 @@ def _descend_kernel_hbm(
             cur, nv, leaf_v, created_v, nf = c
             exp = _read_flat(expanded_ref, cur) != 0
 
-            _fetch_rows(sems, [
-                (edge_action_hbm.at[g, pl.ds(cur, 1), :], s_ea),
-                (edge_prior_hbm.at[g, pl.ds(cur, 1), :], s_ep),
-                (edge_n_hbm.at[g, pl.ds(cur, 1), :], s_en),
-                (edge_w_hbm.at[g, pl.ds(cur, 1), :], s_ew),
-                (edge_virt_out.at[g, pl.ds(cur, 1), :], s_ev),
-                (edge_child_out.at[g, pl.ds(cur, 1), :], s_ec),
-            ])
+            hot = cur < T
+            cc = jnp.minimum(cur, T - 1)
 
-            ea = s_ea[...]
-            ev = s_ev[...]
-            en = s_en[...]
-            ec = s_ec[...]
+            @pl.when(~hot)
+            def _():
+                _fetch_rows(sems, [
+                    (edge_action_hbm.at[g, pl.ds(cur, 1), :], s_ea),
+                    (edge_prior_hbm.at[g, pl.ds(cur, 1), :], s_ep),
+                    (edge_n_hbm.at[g, pl.ds(cur, 1), :], s_en),
+                    (edge_w_hbm.at[g, pl.ds(cur, 1), :], s_ew),
+                    (edge_virt_out.at[g, pl.ds(cur, 1), :], s_ev),
+                    (edge_child_out.at[g, pl.ds(cur, 1), :], s_ec),
+                ])
+
+            def pick(cache, row):
+                return jnp.where(hot, cache[pl.ds(cc, 1), :], row[...])
+
+            ea = pick(c_ea, s_ea)
+            ep = pick(c_ep, s_ep)
+            en = pick(c_en, s_en)
+            ew = pick(c_ew, s_ew)
+            ev = pick(c_ev, s_ev)
+            ec = pick(c_ec, s_ec)
             tot = (en + ev).astype(jnp.float32)
             q = jnp.where(
                 tot > 0,
-                (s_ew[...] - ev.astype(jnp.float32))
-                / jnp.maximum(tot, 1.0),
+                (ew - ev.astype(jnp.float32)) / jnp.maximum(tot, 1.0),
                 0.0,
             )
             npf = nv.astype(jnp.float32)
             u = (
                 _c_puct(npf, base, init)
-                * s_ep[...]
+                * ep
                 * jnp.sqrt(npf)
                 / (1.0 + tot)
             )
@@ -236,18 +267,29 @@ def _descend_kernel_hbm(
             want_create = exp & (child == NONE)
             ok_create = want_create & (nf < M)
 
-            @pl.when(exp)
+            @pl.when(exp & hot)
+            def _():
+                c_ev[pl.ds(cc, 1), :] = ev + oh.astype(jnp.int32)
+
+            @pl.when(exp & ~hot)
             def _():
                 s_ev[...] = ev + oh.astype(jnp.int32)
                 pltpu.sync_copy(s_ev, edge_virt_out.at[g, pl.ds(cur, 1), :])
 
             @pl.when(ok_create)
             def _():
-                s_ec[...] = jnp.where(oh, nf, ec)
-                pltpu.sync_copy(s_ec, edge_child_out.at[g, pl.ds(cur, 1), :])
                 _write_flat(parent_out, nf, cur)
                 _write_flat(parent_slot_out, nf, slot)
                 _write_flat(parent_action_out, nf, action)
+
+            @pl.when(ok_create & hot)
+            def _():
+                c_ec[pl.ds(cc, 1), :] = jnp.where(oh, nf, ec)
+
+            @pl.when(ok_create & ~hot)
+            def _():
+                s_ec[...] = jnp.where(oh, nf, ec)
+                pltpu.sync_copy(s_ec, edge_child_out.at[g, pl.ds(cur, 1), :])
 
             stopping = ~exp | want_create
             new_leaf = jnp.where(ok_create, nf, cur)
@@ -270,6 +312,9 @@ def _descend_kernel_hbm(
     virt0, next_free = jax.lax.fori_loop(
         0, V, one_descent, (scal_ref[0, 1], scal_ref[0, 2])
     )
+    # flush the mutated hot rows back (virt marks + created children)
+    pltpu.sync_copy(c_ev, edge_virt_out.at[g, pl.ds(0, T), :])
+    pltpu.sync_copy(c_ec, edge_child_out.at[g, pl.ds(0, T), :])
     scal_out[0, 0] = n0
     scal_out[0, 1] = virt0
     scal_out[0, 2] = next_free
@@ -284,10 +329,11 @@ def build_descend_wave_hbm(engine, config, *, interpret: bool = False):
     A = engine.num_actions
     Ar = _cdiv(A, LANES)
     Mr = _cdiv(M, LANES)
+    T = min(M, CACHE_ROWS)
 
     kernel = partial(
         _descend_kernel_hbm,
-        V=V, M=M, K=K, Ar=Ar,
+        V=V, M=M, K=K, Ar=Ar, T=T,
         base=float(config.exploration_base),
         init=float(config.exploration_init),
     )
@@ -356,6 +402,9 @@ def build_descend_wave_hbm(engine, config, *, interpret: bool = False):
                 pltpu.VMEM((1, K), i32), pltpu.VMEM((1, K), f32),
                 pltpu.VMEM((1, K), i32), pltpu.VMEM((1, K), f32),
                 pltpu.VMEM((1, K), i32), pltpu.VMEM((1, K), i32),
+                pltpu.VMEM((T, K), i32), pltpu.VMEM((T, K), f32),
+                pltpu.VMEM((T, K), i32), pltpu.VMEM((T, K), f32),
+                pltpu.VMEM((T, K), i32), pltpu.VMEM((T, K), i32),
                 pltpu.SemaphoreType.DMA((6,)),
             ],
             input_output_aliases={11: 3, 12: 4},
@@ -436,11 +485,13 @@ def _expand_backup_kernel_hbm(
     edge_w_out,          # ANY (alias)
     # scratch
     s_i, s_f, s_bn, s_bv, s_bw,   # (1, K) rows
+    c_ea, c_ep, c_ec, c_en, c_ev, c_ew,   # (T, K) hot-row caches
     sems,                         # DMA semaphores (6,)
     *,
     V: int,
     K: int,
     Ar: int,
+    T: int,
     ongoing: int,
 ):
     del (edge_action_hbm, edge_prior_hbm, edge_child_hbm, edge_n_hbm,
@@ -451,6 +502,16 @@ def _expand_backup_kernel_hbm(
     root_n_out[...] = root_n_in[...]
     root_virt_out[...] = root_virt_in[...]
     root_w_out[...] = root_w_in[...]
+
+    # load the hot top-of-tree into VMEM (one bulk DMA per array)
+    _fetch_rows(sems, [
+        (edge_action_out.at[g, pl.ds(0, T), :], c_ea),
+        (edge_prior_out.at[g, pl.ds(0, T), :], c_ep),
+        (edge_child_out.at[g, pl.ds(0, T), :], c_ec),
+        (edge_n_out.at[g, pl.ds(0, T), :], c_en),
+        (edge_virt_out.at[g, pl.ds(0, T), :], c_ev),
+        (edge_w_out.at[g, pl.ds(0, T), :], c_ew),
+    ])
 
     aidx = _flat_iota(Ar, LANES)
 
@@ -468,11 +529,26 @@ def _expand_backup_kernel_hbm(
         )
         val = jnp.where(res != ongoing, term_val, values_ref[0, v])
 
-        # ---- expansion: write the leaf's 6 edge rows to HBM -------------
+        # ---- expansion: write the leaf's 6 edge rows ---------------------
         was_expanded = _read_flat(expanded_out, cur) != 0
         do_expand = (res == ongoing) & (cur != 0) & ~was_expanded
+        hot = cur < T
+        ch = jnp.minimum(cur, T - 1)
 
-        @pl.when(do_expand)
+        @pl.when(do_expand & hot)
+        def _():
+            va = topk_vals_ref[pl.ds(v, 1), :]
+            ai = topk_aidx_ref[pl.ds(v, 1), :]
+            okm = va >= 0.0
+            c_ea[pl.ds(ch, 1), :] = jnp.where(okm, ai, NONE)
+            c_ep[pl.ds(ch, 1), :] = jnp.where(okm, va, 0.0)
+            c_en[pl.ds(ch, 1), :] = jnp.zeros((1, K), jnp.int32)
+            c_ev[pl.ds(ch, 1), :] = jnp.zeros((1, K), jnp.int32)
+            c_ew[pl.ds(ch, 1), :] = jnp.zeros((1, K), jnp.float32)
+            c_ec[pl.ds(ch, 1), :] = jnp.full((1, K), NONE, jnp.int32)
+            _write_flat(expanded_out, cur, 1)
+
+        @pl.when(do_expand & ~hot)
         def _():
             va = topk_vals_ref[pl.ds(v, 1), :]
             ai = topk_aidx_ref[pl.ds(v, 1), :]
@@ -514,7 +590,20 @@ def _expand_backup_kernel_hbm(
                     oh, sign * val, 0.0
                 )
 
-            @pl.when(is_edge)
+            p_hot = p < T
+            pc = jnp.minimum(jnp.maximum(p, 0), T - 1)
+
+            @pl.when(is_edge & p_hot)
+            def _():
+                oh = _lane_iota((1, K)) == s
+                ohi = oh.astype(jnp.int32)
+                c_en[pl.ds(pc, 1), :] = c_en[pl.ds(pc, 1), :] + ohi
+                c_ev[pl.ds(pc, 1), :] = c_ev[pl.ds(pc, 1), :] - ohi
+                c_ew[pl.ds(pc, 1), :] = c_ew[pl.ds(pc, 1), :] + jnp.where(
+                    oh, sign * val, 0.0
+                )
+
+            @pl.when(is_edge & ~p_hot)
             def _():
                 prow = lambda ref: ref.at[g, pl.ds(p, 1), :]
                 _fetch_rows(sems, [
@@ -543,6 +632,13 @@ def _expand_backup_kernel_hbm(
     n0, virt0 = jax.lax.fori_loop(
         0, V, one_backup, (scal_ref[0, 0], scal_ref[0, 1])
     )
+    # flush the hot rows back (expansions + backup stats)
+    pltpu.sync_copy(c_ea, edge_action_out.at[g, pl.ds(0, T), :])
+    pltpu.sync_copy(c_ep, edge_prior_out.at[g, pl.ds(0, T), :])
+    pltpu.sync_copy(c_ec, edge_child_out.at[g, pl.ds(0, T), :])
+    pltpu.sync_copy(c_en, edge_n_out.at[g, pl.ds(0, T), :])
+    pltpu.sync_copy(c_ev, edge_virt_out.at[g, pl.ds(0, T), :])
+    pltpu.sync_copy(c_ew, edge_w_out.at[g, pl.ds(0, T), :])
     scal_out[0, 0] = n0
     scal_out[0, 1] = virt0
     scal_out[0, 2] = 0
@@ -559,9 +655,11 @@ def build_expand_backup_wave_hbm(engine, config, *, interpret: bool = False):
     A = engine.num_actions
     Ar = _cdiv(A, LANES)
     Mr = _cdiv(M, LANES)
+    T = min(M, CACHE_ROWS)
 
     kernel = partial(
-        _expand_backup_kernel_hbm, V=V, K=K, Ar=Ar, ongoing=int(ONGOING)
+        _expand_backup_kernel_hbm, V=V, K=K, Ar=Ar, T=T,
+        ongoing=int(ONGOING),
     )
 
     vspec = lambda *shape: pl.BlockSpec(
@@ -628,6 +726,9 @@ def build_expand_backup_wave_hbm(engine, config, *, interpret: bool = False):
                 pltpu.VMEM((1, K), i32), pltpu.VMEM((1, K), f32),
                 pltpu.VMEM((1, K), i32), pltpu.VMEM((1, K), i32),
                 pltpu.VMEM((1, K), f32),
+                pltpu.VMEM((T, K), i32), pltpu.VMEM((T, K), f32),
+                pltpu.VMEM((T, K), i32), pltpu.VMEM((T, K), i32),
+                pltpu.VMEM((T, K), i32), pltpu.VMEM((T, K), f32),
                 pltpu.SemaphoreType.DMA((6,)),
             ],
             input_output_aliases={14: 5, 15: 6, 16: 7, 17: 8, 18: 9, 19: 10},
