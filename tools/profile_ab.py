@@ -40,9 +40,24 @@ variables = net.init_variables(0)
 eval_fn = lambda p, s: net.policy_eval_states(p, s)
 
 base = SearchConfig(num_sims=SIMS, wave_size=V, max_children=K)
+# BENCH_AB picks the variant pair: each entry is name -> config overrides
+PAIRS = {
+    "fused-legal": {
+        "fused-legal": dict(fused_leaf_legal=True),
+        "xla-legal": dict(fused_leaf_legal=False),
+    },
+    "topk": {
+        "topk-packed": dict(topk_impl="packed"),
+        "topk-exact": dict(topk_impl="exact"),
+    },
+    "topkq": {
+        "topk-packedq": dict(topk_impl="packedq"),
+        "topk-exact": dict(topk_impl="exact"),
+    },
+}
 VARIANTS = {
-    "fused-legal": base,
-    "xla-legal": dataclasses.replace(base, fused_leaf_legal=False),
+    name: dataclasses.replace(base, **kw)
+    for name, kw in PAIRS[os.environ.get("BENCH_AB", "topk")].items()
 }
 
 states = engine.initial_batch(B, 4)
