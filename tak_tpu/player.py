@@ -7,10 +7,12 @@ fused with a batched network eval — same leaf-parallel batching, no
 threads.  The tree persists across `rollout()` calls (pondering); see
 `node_budget` for capacity.
 
-Tree reuse across moves currently re-roots by rebuilding a fresh tree at
-the new position (the reference keeps the chosen subtree,
-search/play.rs:26-43; statistics are re-discovered by subsequent
-rollouts).  Examples and Analysis capture matches player.rs:136-193.
+Tree reuse across moves re-roots ON DEVICE (`mcts/reuse.reroot`): the
+played subtree's nodes, edge statistics, and visit counts carry into the
+next search (the reference's `Node::play`, search/play.rs:26-43), with
+one guard — a carried subtree that nearly fills the node pool is dropped
+instead (a full pool would starve the next search; see play_move).
+Examples and Analysis capture matches player.rs:136-193.
 """
 
 from __future__ import annotations

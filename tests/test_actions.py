@@ -56,6 +56,34 @@ def test_legacy_lut_prefix():
                        "3a1>12", "3a1>111", "4a1>"]
 
 
+_MOVE_MAP_RS = "/root/reference/alpha-tak/src/search/move_map.rs"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_MOVE_MAP_RS),
+    reason="reference checkout not available",
+)
+def test_legacy_lut_full_parity():
+    """ALL 1575 generated entries equal POSSIBLE_MOVES_IN_5S, in order.
+
+    The reference hardcodes the table (move_map.rs:51-201); this repo
+    generates it programmatically (actions.py).  The reference file is
+    read at test time purely as a comparison oracle.
+    """
+    import re
+
+    with open(_MOVE_MAP_RS) as f:
+        src = f.read()
+    body = src.split("POSSIBLE_MOVES_IN_5S", 1)[1]
+    body = body.split("= [", 1)[1].split("];", 1)[0]
+    ref = re.findall(r'"([^"]+)"', body)
+    assert len(ref) == 1575
+
+    t = Tables(5)
+    got = [t.action_to_ptn(a) for a in t.legacy_actions]
+    assert got == ref
+
+
 def test_symmetries_are_permutations():
     t = Tables(6)
     ident = np.arange(t.num_actions)

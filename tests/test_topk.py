@@ -76,7 +76,7 @@ def test_topk_impl_resolution():
     cfg = SearchConfig(num_sims=8, wave_size=4, topk_impl="auto")
     m = MCTS(engine, eval_fn, cfg)
     assert m._topk_impl == ("exact" if jax.default_backend() == "cpu"
-                            else "packed")
+                            else "packedq")
     m2 = MCTS(engine, eval_fn, SearchConfig(num_sims=8, topk_impl="packed"))
     assert m2._topk_impl == "packed"
     with pytest.raises(ValueError):

@@ -55,9 +55,14 @@ PAIRS = {
         "topk-exact": dict(topk_impl="exact"),
     },
 }
+_pair = os.environ.get("BENCH_AB", "topk")
+if _pair not in PAIRS:
+    raise SystemExit(
+        f"unknown BENCH_AB={_pair!r}; valid pairs: {', '.join(sorted(PAIRS))}"
+    )
 VARIANTS = {
     name: dataclasses.replace(base, **kw)
-    for name, kw in PAIRS[os.environ.get("BENCH_AB", "topk")].items()
+    for name, kw in PAIRS[_pair].items()
 }
 
 states = engine.initial_batch(B, 4)

@@ -71,8 +71,6 @@ def main():
         bits = jax.random.bits(k_, masks.shape, jnp.uint16)
         acts = jnp.argmax(jnp.where(masks, bits, jnp.uint16(0)), -1)
         nxt = engine.batched_step(states, acts.astype(jnp.int32))
-        ongoing = (states.result == ONGOING).reshape(
-            (-1,) + (1,) * 0)
         states = jax.tree.map(
             lambda new, old: jnp.where(
                 (states.result == ONGOING).reshape(
