@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunks-in-step", type=int, default=None,
                    help="chunks per optimizer step (default 20)")
     p.add_argument("--workdir", default=".")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <workdir>/_checkpoint (weights + replay "
+                        "buffer + generation counter)")
     p.add_argument("--filters", type=int, default=128)
     p.add_argument("--blocks", type=int, default=None,
                    help="res blocks (default: 16 for 6x6+, else 8)")
@@ -68,21 +71,28 @@ def main(argv=None):
     from ..model.resnet import NetConfig
     from ..pit import PitConfig
     from ..selfplay import SelfPlayConfig
-    from ..train_loop import TrainLoopConfig, training_loop
+    from ..train_loop import TrainLoopConfig, load_training_run, training_loop
 
     engine = get_engine(args.size)
     blocks = args.blocks or (16 if args.size >= 6 else 8)
     network = Network(engine, NetConfig(n=args.size, filters=args.filters,
                                         blocks=blocks))
 
-    if args.model_path and args.model_path != "random":
+    start_generation = 0
+    if args.resume:
+        variables, buffer, start_generation = load_training_run(
+            engine, network, args.workdir
+        )
+        print(f"resumed from {args.workdir}/_checkpoint at generation "
+              f"{start_generation} ({len(buffer)} buffered examples)")
+    elif args.model_path and args.model_path != "random":
         variables = network.load(args.model_path)
         print(f"loaded model {args.model_path}")
     else:
         variables = network.init_variables(args.seed)
         print("starting from random weights")
 
-    buffer = ReplayBuffer()
+    buffer = buffer if args.resume else ReplayBuffer()
     paths = list(args.examples)
     if args.folder:
         paths += sorted(
@@ -115,7 +125,8 @@ def main(argv=None):
             network.train, chunk_size=args.chunk_size,
             chunks_in_step=args.chunks_in_step,
         )
-    training_loop(engine, network, variables, buffer, cfg, seed=args.seed)
+    training_loop(engine, network, variables, buffer, cfg, seed=args.seed,
+                  start_generation=start_generation)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,12 @@ the incumbent to extend the buffer, streaming examples to
 The reference "copies" the network through a temp-file save/load round
 trip (main.rs:125-131); with immutable JAX pytrees the candidate is simply
 the value returned by `train`.
+
+Beyond the reference (whose resume is a manual restart pointing at the
+last `_models/*.model` + `_examples/*.data`, main.rs:46-82): every
+generation ends with a full-run checkpoint (`_checkpoint/`: incumbent
+weights + replay buffer + generation counter), and `load_training_run` /
+`cli/train.py --resume` continue exactly where the run stopped.
 """
 
 from __future__ import annotations
@@ -18,15 +24,19 @@ import os
 import time
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from .engine.core import Engine
 from .examples import ReplayBuffer, example_to_line
 from .model.network import Network
 from .pit import PitConfig, pit
 from .selfplay import SelfPlayActor, SelfPlayConfig
+from .utils.checkpoint import load_run, save_run
 
 MODEL_DIR = "_models"
 EXAMPLE_DIR = "_examples"
 GAME_DIR = "_games"
+CHECKPOINT_DIR = "_checkpoint"
 
 
 @dataclass
@@ -37,11 +47,40 @@ class TrainLoopConfig:
     win_rate_threshold: float = 0.55
     generations: int | None = None   # None = loop forever (main.rs:85)
     workdir: str = "."
+    checkpoint: bool = True          # write _checkpoint/ every generation
 
 
 def sys_time() -> int:
     """Unix seconds, used to name artifacts (alpha-tak/src/lib.rs:33-38)."""
     return int(time.time())
+
+
+def save_training_run(engine, variables, buffer: ReplayBuffer, workdir: str,
+                      generation: int) -> str:
+    """Write the resumable end-of-generation checkpoint."""
+    ckpt = os.path.join(workdir, CHECKPOINT_DIR)
+    save_run(ckpt, variables=variables,
+             meta={"generation": generation, "buffer_len": len(buffer)})
+    tmp = os.path.join(ckpt, "buffer.data.tmp")
+    buffer.save(engine, tmp)
+    os.replace(tmp, os.path.join(ckpt, "buffer.data"))
+    return ckpt
+
+
+def load_training_run(engine, network: Network, workdir: str):
+    """Restore (variables, buffer, generation) from `save_training_run`.
+
+    Pass `generation` as training_loop's `start_generation` to continue.
+    """
+    ckpt = os.path.join(workdir, CHECKPOINT_DIR)
+    variables, _, meta = load_run(
+        ckpt, variables_template=network.init_variables(0)
+    )
+    buffer = ReplayBuffer()
+    bpath = os.path.join(ckpt, "buffer.data")
+    if os.path.exists(bpath):
+        buffer.load(engine, bpath)
+    return variables, buffer, int(meta.get("generation", 0))
 
 
 def training_loop(
@@ -52,6 +91,7 @@ def training_loop(
     config: TrainLoopConfig,
     log=print,
     seed: int = 0,
+    start_generation: int = 0,
 ):
     cfg = config
     for d in (MODEL_DIR, EXAMPLE_DIR, GAME_DIR):
@@ -60,12 +100,17 @@ def training_loop(
     eval_fn = lambda params, states: network.policy_eval_states(params, states)
     actor = SelfPlayActor(engine, eval_fn, cfg.selfplay)
 
-    generation = 0
+    generation = start_generation
     while cfg.generations is None or generation < cfg.generations:
         generation += 1
         if len(buffer) >= 1:
             log(f"[gen {generation}] training on {len(buffer)} examples")
-            candidate = network.train(variables, buffer.examples, log=log)
+            # deterministic per-(seed, generation) shuffle so an
+            # interrupted run resumes bit-identically
+            candidate = network.train(
+                variables, buffer.examples, log=log,
+                rng=np.random.default_rng([seed, generation]),
+            )
 
             log(f"[gen {generation}] pitting candidate vs incumbent")
             result = pit(engine, eval_fn, candidate, variables, cfg.pit,
@@ -91,5 +136,11 @@ def training_loop(
             )
         buffer.extend(new_examples)
         log(f"[gen {generation}] buffer now {len(buffer)} examples")
+
+        if cfg.checkpoint:
+            ckpt = save_training_run(
+                engine, variables, buffer, cfg.workdir, generation
+            )
+            log(f"[gen {generation}] checkpoint -> {ckpt}")
 
     return variables
