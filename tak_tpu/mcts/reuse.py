@@ -23,6 +23,45 @@ import jax.numpy as jnp
 from .tree import NONE, Tree
 
 
+def blank_trees(tree: Tree, states, mask) -> Tree:
+    """Reset masked games' trees in place to a fresh root at `states`.
+
+    `tree` is batched ([B] leading axis), `states` a batched GameState,
+    `mask` bool [B].  Used by callers that carry trees across moves but
+    must drop oversized or stale subtrees (pool-headroom contract: a full
+    pool backs up into n0 only, starving select_moves).
+    """
+    mrow = mask[:, None]
+
+    def set0(arr, val):  # write slot 0 of a [B, M, ...] array
+        upd = jnp.where(
+            mask.reshape((-1,) + (1,) * (val.ndim - 1)), val, arr[:, 0]
+        )
+        return arr.at[:, 0].set(upd)
+
+    state = jax.tree.map(set0, tree.state, states)
+    zero_like = lambda a: jnp.where(
+        mask.reshape((-1,) + (1,) * (a.ndim - 1)), jnp.zeros_like(a), a
+    )
+    return tree.replace(
+        state=state,
+        result=set0(tree.result, states.result),
+        parent=tree.parent.at[:, 0].set(
+            jnp.where(mask, NONE, tree.parent[:, 0])
+        ),
+        expanded=jnp.where(mrow, False, tree.expanded),
+        root_prior=zero_like(tree.root_prior),
+        root_legal=zero_like(tree.root_legal),
+        root_n=zero_like(tree.root_n),
+        root_virt=zero_like(tree.root_virt),
+        root_w=zero_like(tree.root_w),
+        root_child=jnp.where(mask[:, None], NONE, tree.root_child),
+        n0=jnp.where(mask, 0, tree.n0),
+        virt0=jnp.where(mask, 0, tree.virt0),
+        next_free=jnp.where(mask, 1, tree.next_free),
+    )
+
+
 def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tree:
     """Single-game re-root of `tree` onto root action `action`.
 

@@ -11,6 +11,13 @@ when the outcome is decided (pit.rs:20-23); here all games run in
 lockstep, split into two half-batches by which network is to move (all
 lockstep games share ply parity), so the early exit is unnecessary and
 every game finishes.  win_rate = wins / (wins + losses) (pit.rs:98-111).
+
+Tree reuse matches the reference: its pit drives BOTH players through
+`Player::play_move` every ply (pit.rs:66-92), so each net's search tree
+carries the played subtree across moves.  Here each (net, half-batch)
+pair keeps a persistent batched tree, re-rooted after every ply; trees
+whose carried subtree would crowd the node pool are blanked (the
+pool-headroom contract, see mcts/reuse.blank_trees).
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ class PitConfig:
     )
     random_plies: int = 2        # RANDOM_PLIES (pit.rs:9)
     max_plies: int = 400
+    tree_reuse: bool = True      # carry subtrees across plies (pit.rs:66-92)
 
 
 @dataclass
@@ -74,12 +82,28 @@ def _make_opening(engine: Engine, rng: np.random.Generator, komi: int):
 
 
 def pit(engine: Engine, eval_fn, new_params, old_params,
-        config: PitConfig | None = None, seed: int = 0, log=print) -> PitResult:
-    """Play `games` paired-opening games; positive result favors `new`."""
+        config: PitConfig | None = None, seed: int = 0, log=print,
+        stats: dict | None = None) -> PitResult:
+    """Play `games` paired-opening games; positive result favors `new`.
+
+    `stats`, when given, receives observability counters (currently
+    `carried_n0`: total root visits carried into searches by tree reuse).
+    """
+    import dataclasses
+
     cfg = config or PitConfig()
+    search_cfg = cfg.search
+    per_move = search_cfg.num_waves * search_cfg.wave_size
+    if cfg.tree_reuse and search_cfg.node_budget is None:
+        # carried subtree (< per_move nodes) + one move's simulations
+        search_cfg = dataclasses.replace(
+            search_cfg, node_budget=2 * per_move + 2
+        )
     rng = np.random.default_rng(seed)
-    mcts = MCTS(engine, eval_fn, cfg.search)
+    mcts = MCTS(engine, eval_fn, search_cfg)
     jrng = jax.random.PRNGKey(seed)
+    if stats is not None:
+        stats.setdefault("carried_n0", 0)
 
     n_openings = cfg.games // 2
     openings = [_make_opening(engine, rng, cfg.komi) for _ in range(n_openings)]
@@ -99,10 +123,30 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
     H = n_openings
     ply = len(openings[0])
 
-    def search_half(params, half_states, key):
-        tree = mcts.init_batch(half_states)
+    # persistent search trees per (net, half-batch): both nets advance
+    # their trees every ply, exactly like the reference's paired
+    # Player::play_move calls (pit.rs:66-92)
+    trees: dict = {}
+    if cfg.tree_reuse:
+        from .mcts.reuse import blank_trees, reroot
+
+        k = search_cfg.max_children
+        reroot_batch = jax.jit(jax.vmap(
+            lambda t, a, s: reroot(engine, t, a, s, k)
+        ))
+        blank = jax.jit(blank_trees)
+        room = search_cfg.max_nodes - per_move
+
+    def search_half(net_id, params, half, half_states, key):
+        tree = trees.get((net_id, half))
+        if tree is None:
+            tree = mcts.init_batch(half_states)
+        if stats is not None:
+            stats["carried_n0"] += int(np.asarray(tree.n0).sum())
         tree = mcts.prepare_root(params, tree)
         tree = mcts.run_sims(params, tree)
+        if cfg.tree_reuse:
+            trees[(net_id, half)] = tree
         return np.asarray(mcts.select_moves(key, tree, jnp.ones(H, bool)))
 
     while not done.all() and ply < cfg.max_plies:
@@ -114,11 +158,11 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
         second_half = jax.tree.map(lambda x: x[H:], states)
         jrng, k1, k2 = jax.random.split(jrng, 3)
         if to_move_white:
-            acts_a = search_half(new_params, first_half, k1)
-            acts_b = search_half(old_params, second_half, k2)
+            acts_a = search_half(0, new_params, 0, first_half, k1)
+            acts_b = search_half(1, old_params, 1, second_half, k2)
         else:
-            acts_a = search_half(old_params, first_half, k1)
-            acts_b = search_half(new_params, second_half, k2)
+            acts_a = search_half(1, old_params, 0, first_half, k1)
+            acts_b = search_half(0, new_params, 1, second_half, k2)
         actions = np.concatenate([acts_a, acts_b])
 
         live = jnp.asarray(~done)
@@ -131,6 +175,19 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
             states,
         )
         ply += 1
+
+        if cfg.tree_reuse:
+            halves = (
+                jax.tree.map(lambda x: x[:H], states),
+                jax.tree.map(lambda x: x[H:], states),
+            )
+            half_actions = (jnp.asarray(acts_a), jnp.asarray(acts_b))
+            for (net_id, half), tree in list(trees.items()):
+                t = reroot_batch(tree, half_actions[half], halves[half])
+                stale = np.asarray(t.next_free) > room
+                if stale.any():
+                    t = blank(t, halves[half], jnp.asarray(stale))
+                trees[(net_id, half)] = t
 
         results = np.asarray(states.result)
         for i in range(B):
