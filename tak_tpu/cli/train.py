@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="res blocks (default: 16 for 6x6+, else 8)")
     p.add_argument("--cpu", action="store_true", help="force CPU JAX")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sharded", action="store_true",
+                   help="run the dp-sharded multi-chip path: self-play and "
+                        "learner batches laid out over all devices "
+                        "(workers and chunk rows should divide the device "
+                        "count)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "before building the mesh (implies --sharded)")
     return p
 
 
@@ -63,6 +71,15 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        jax.distributed.initialize()
+
+    mesh = None
+    if args.sharded or args.distributed:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"mesh: {mesh.devices.shape[0]} dp devices")
 
     from ..engine.core import get_engine
     from ..examples import ReplayBuffer
@@ -126,7 +143,7 @@ def main(argv=None):
             chunks_in_step=args.chunks_in_step,
         )
     training_loop(engine, network, variables, buffer, cfg, seed=args.seed,
-                  start_generation=start_generation)
+                  start_generation=start_generation, mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -229,12 +229,19 @@ class Network:
         return run
 
     def train(self, variables, examples, *, rng=None, log=print,
-              chunk_size: int | None = None, chunks_in_step: int | None = None):
+              chunk_size: int | None = None, chunks_in_step: int | None = None,
+              mesh=None):
         """One training pass over `examples` (list of Example), ref parity.
 
         Shuffles example order, walks 500-example chunks, steps the fresh
         Adam every 20 chunks (network.rs:37-57).  Input planes are rebuilt
         on device from the stored game states (network.rs:59).
+
+        With `mesh` (a jax.sharding.Mesh with a "dp" axis), every chunk's
+        batch rows are laid out across the mesh's devices and parameters
+        stay replicated — XLA inserts the gradient all-reduce over ICI.
+        Same math, same effective batch; this is the data-parallel
+        production path (SURVEY §7.6) the single-GPU reference lacks.
         """
         from ..examples import stack_states
 
@@ -244,6 +251,17 @@ class Network:
         params, batch_stats = variables["params"], variables["batch_stats"]
         opt_state = self.optimizer.init(params)  # fresh Adam state per call
         grad_acc = jax.tree.map(jnp.zeros_like, params)
+
+        place_batch = lambda x: x
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, replicated
+
+            rep = replicated(mesh)
+            shard = batch_sharding(mesh)
+            place_batch = lambda x: jax.device_put(x, shard)
+            params, batch_stats, opt_state, grad_acc = jax.device_put(
+                (params, batch_stats, opt_state, grad_acc), rep
+            )
 
         A = self.config.policy_size
         legacy = (jnp.asarray(self.engine.tables.legacy_actions)
@@ -262,6 +280,7 @@ class Network:
             else:
                 pi = jnp.asarray(np.stack([e.policy_dense(A) for e in chunk]))
             z = jnp.asarray(np.array([e.result for e in chunk], np.float32))
+            planes, pi, z = place_batch(planes), place_batch(pi), place_batch(z)
             grad_acc, batch_stats, lp, lz = self._accum_chunk(
                 params, batch_stats, grad_acc, planes, pi, z
             )

@@ -61,9 +61,16 @@ class SelfPlayConfig:
 
 
 class SelfPlayActor:
-    def __init__(self, engine: Engine, eval_fn, config: SelfPlayConfig):
+    def __init__(self, engine: Engine, eval_fn, config: SelfPlayConfig,
+                 mesh=None):
+        """`mesh` (jax.sharding.Mesh with a "dp" axis): lay the lockstep
+        game batch out across devices — env steps, tree waves, and the
+        in-search network evals then run dp-sharded with replicated
+        params (SURVEY §7.6; the reference is single-GPU, §2.7).
+        `workers` should be a multiple of the dp size."""
         self.engine = engine
         self.config = config
+        self.mesh = mesh
         if config.quad_rollout_plies > 0 and config.workers != 1:
             raise ValueError(
                 "quad_rollout_plies matches the reference's SEQUENTIAL "
@@ -168,6 +175,10 @@ class SelfPlayActor:
         jrng = jax.random.PRNGKey(seed)
 
         states = engine.initial_batch(B, 2 * cfg.komi)
+        if self.mesh is not None:
+            from .parallel.mesh import shard_batch
+
+            states = shard_batch(self.mesh, states)
         tree = None                     # persistent across moves (reuse)
         tree_stale = np.ones(B, bool)   # slots whose tree must be blanked
         pending: list[list[Example]] = [[] for _ in range(B)]

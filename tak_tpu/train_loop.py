@@ -92,13 +92,19 @@ def training_loop(
     log=print,
     seed: int = 0,
     start_generation: int = 0,
+    mesh=None,
 ):
+    """`mesh` (jax.sharding.Mesh with a "dp" axis) runs the production
+    multi-chip path: self-play game slots and learner batch rows are
+    sharded over the mesh, parameters replicated, gradient all-reduce
+    over ICI (SURVEY §7.6; BASELINE config 5).  Multi-host callers run
+    `jax.distributed.initialize()` first (cli/train.py --distributed)."""
     cfg = config
     for d in (MODEL_DIR, EXAMPLE_DIR, GAME_DIR):
         os.makedirs(os.path.join(cfg.workdir, d), exist_ok=True)
 
     eval_fn = lambda params, states: network.policy_eval_states(params, states)
-    actor = SelfPlayActor(engine, eval_fn, cfg.selfplay)
+    actor = SelfPlayActor(engine, eval_fn, cfg.selfplay, mesh=mesh)
 
     generation = start_generation
     while cfg.generations is None or generation < cfg.generations:
@@ -110,6 +116,7 @@ def training_loop(
             candidate = network.train(
                 variables, buffer.examples, log=log,
                 rng=np.random.default_rng([seed, generation]),
+                mesh=mesh,
             )
 
             log(f"[gen {generation}] pitting candidate vs incumbent")
