@@ -50,6 +50,9 @@ def blank_trees(tree: Tree, states, mask) -> Tree:
             jnp.where(mask, NONE, tree.parent[:, 0])
         ),
         expanded=jnp.where(mrow, False, tree.expanded),
+        node_n=zero_like(tree.node_n),
+        node_virt=zero_like(tree.node_virt),
+        child_count=zero_like(tree.child_count),
         root_prior=zero_like(tree.root_prior),
         root_legal=zero_like(tree.root_legal),
         root_n=zero_like(tree.root_n),
@@ -92,7 +95,10 @@ def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tre
 
     def body(carry):
         reach, _ = carry
-        child_ok = tree.edge_child != NONE                  # [M, K]
+        # unexpanded nodes' edge rows may be stale (recycled slots keep
+        # their old rows until the next expansion rewrites them) — only
+        # expanded rows carry live child pointers
+        child_ok = (tree.edge_child != NONE) & tree.expanded[:, None]
         parent_reach = reach[:, None] & child_ok
         new = reach.at[
             jnp.where(parent_reach, tree.edge_child, M)
@@ -134,13 +140,17 @@ def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tre
     # children of the new root route their backups through the dense root
     # tier (walk dispatches on parent==0 & slot==NONE)
     new_parent_slot = jnp.where(new_parent == 0, NONE, new_parent_slot)
+    valid_new = reach[old_of_new]  # new slot holds a carried node
     new_tree = tree.replace(
         state=state,
         result=reorder(tree.result).at[0].set(new_root_state.result),
         parent=new_parent,
         parent_slot=new_parent_slot,
         parent_action=reorder(tree.parent_action),
-        expanded=reorder(tree.expanded) & reach[old_of_new],
+        expanded=reorder(tree.expanded) & valid_new,
+        node_n=jnp.where(valid_new, reorder(tree.node_n), 0),
+        node_virt=jnp.zeros_like(tree.node_virt),  # none in flight
+        child_count=jnp.where(valid_new, reorder(tree.child_count), 0),
         edge_action=reorder(tree.edge_action),
         edge_prior=reorder(tree.edge_prior),
         edge_child=remap_node_ref(reorder(tree.edge_child)),
@@ -170,6 +180,7 @@ def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tre
         parent_slot=new_tree.parent_slot.at[0].set(NONE),
         parent_action=new_tree.parent_action.at[0].set(NONE),
         expanded=new_tree.expanded.at[0].set(False),
+        node_n=new_tree.node_n.at[0].set(n0),
         root_prior=jnp.zeros(A, jnp.float32),
         root_legal=jnp.zeros(A, bool),
         root_n=root_n,

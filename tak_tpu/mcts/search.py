@@ -82,6 +82,19 @@ class SearchConfig:
     # ends: the padded-row relayouts cost more than XLA's legal_mask);
     # kept available for re-evaluation on other hardware.
     fused_leaf_legal: bool = False
+    # node recycling: when the pool is full, a create evicts the
+    # coldest unpinned CHILDLESS node (min node_n; never the root, an
+    # in-flight leaf, or a node with materialized children) instead of
+    # degrading to a parent re-eval.  Because statistics are
+    # edge-resident, eviction loses NO backed-up visits/values — only the
+    # victim's cached state and priors (one extra eval if revisited), and
+    # min-visit ordering peels cold subtrees bottom-up.  This lets a
+    # bounded VMEM-tier pool (node_budget ~1-1.5k) serve arbitrarily deep
+    # sim budgets (the reference's 10k rollouts/move, self_play.rs:12)
+    # at fused-kernel speed instead of the HBM tier's per-row-DMA pace.
+    # Set node_budget explicitly when enabling.  Not available on the
+    # pallas_hbm backend.
+    recycle: bool = False
     # Gumbel root selection (Danihelka et al. 2022, "Policy improvement by
     # planning with Gumbel"): 0 = off (reference PUCT parity).  When > 0,
     # root descents follow a sequential-halving schedule over the top
@@ -191,6 +204,11 @@ class MCTS:
             raise ValueError(
                 "gumbel root selection runs on the XLA descent backend only"
             )
+        if cfg.recycle and cfg.backend == "pallas_hbm":
+            raise ValueError(
+                "node recycling runs on the VMEM pallas tier or the XLA "
+                "path; the HBM tier's per-row DMA layout does not support it"
+            )
         on_tpu = jax.default_backend() not in ("cpu",)
         if cfg.topk_impl == "auto":
             self._topk_impl = "packedq" if on_tpu else "exact"
@@ -220,7 +238,7 @@ class MCTS:
             if fits_in_vmem(cfg.max_nodes, cfg.max_children,
                             self.engine.num_actions):
                 kind = "vmem"
-            elif fits_hbm(cfg.max_nodes, cfg.max_children):
+            elif not cfg.recycle and fits_hbm(cfg.max_nodes, cfg.max_children):
                 kind = "hbm"
         self._pallas_kind = kind
         self._use_pallas = kind is not None
@@ -361,6 +379,56 @@ class MCTS:
         use = jnp.where(jnp.any(on_schedule), sel, fallback)
         return _argmax_last(use)
 
+    # -- node recycling (config.recycle) ------------------------------------
+
+    def _pick_victims(self, tree: Tree, protect_idx, k: int):
+        """Top-k eviction candidates by ascending node_n ([k] ids, [k]
+        valid).  Candidates are childless, unpinned, non-root, and not in
+        `protect_idx` (node ids; M entries ignored).  Ties break toward
+        the LOWEST node index (matches the kernels' sequential argmin)."""
+        M = self.config.max_nodes
+        protect = jnp.zeros(M + 1, bool).at[
+            jnp.clip(protect_idx, 0, M)
+        ].set(True)
+        cand = (
+            (tree.child_count == 0)
+            & (tree.node_virt == 0)
+            & (jnp.arange(M) > 0)
+            & ~protect[:M]
+        )
+        INF = jnp.int32(2**30)
+        score = jnp.where(cand, tree.node_n, INF)
+        neg_vals, victims = jax.lax.top_k(-score, k)
+        return victims.astype(jnp.int32), neg_vals > -INF
+
+    def _evict(self, tree: Tree, vid):
+        """Detach victim slots `vid` ([k] ids; M = unused) from their
+        parents and reset them to unallocated leaves.  The parent edge's
+        statistics (N, W, prior) are kept — selection still sees the
+        aggregate; the subtree re-materializes on demand."""
+        M = self.config.max_nodes
+        A = self.engine.num_actions
+        vidc = jnp.clip(vid, 0, M - 1)
+        used = vid < M
+        pv = jnp.where(used, tree.parent[vidc], M)
+        sv = tree.parent_slot[vidc]
+        av = jnp.where(used, tree.parent_action[vidc], A)
+        is_root_edge = used & (pv == 0) & (sv == NONE)
+        is_edge = used & ~is_root_edge
+        return tree.replace(
+            edge_child=tree.edge_child.at[
+                jnp.where(is_edge, pv, M), sv
+            ].set(NONE, mode="drop"),
+            root_child=tree.root_child.at[
+                jnp.where(is_root_edge, av, A)
+            ].set(NONE, mode="drop"),
+            child_count=tree.child_count.at[
+                jnp.where(used, pv, M)
+            ].add(-1, mode="drop"),
+            expanded=tree.expanded.at[vid].set(False, mode="drop"),
+            node_n=tree.node_n.at[vid].set(0, mode="drop"),
+        )
+
     def _select_edges(self, tree: Tree, cur, nv):
         """PUCT over the K edge rows of `cur` ([V]); nv = carried N(cur)."""
         ci = jnp.maximum(cur, 0)
@@ -388,6 +456,7 @@ class MCTS:
         A = self.engine.num_actions
         NONE_V = jnp.full(V, NONE, jnp.int32)
         iota = jnp.arange(V)
+        rc = self.config.recycle
 
         def cond(carry):
             t, _tree, cur, _nv, _leaf, _created = carry
@@ -404,35 +473,68 @@ class MCTS:
                 a0 = self._select_root_gumbel(tree, gumbel, sim_offset + t)
             c0 = tree.root_child[a0]
             nv0 = tree.root_n[a0] + tree.root_virt[a0]  # pre-mark count
+            want0 = starting & (c0 == NONE)
+            fresh0 = tree.next_free < M
+            if rc:
+                # allocation: fresh slot, else evict the coldest candidate
+                # (never a node a cursor sits on — in-flight leaves are
+                # node_virt-pinned, path nodes have children, active
+                # cursors' positions are protected explicitly)
+                victims1, valid1 = self._pick_victims(
+                    tree, jnp.where(cur != NONE, cur, M), 1
+                )
+                use_v0 = want0 & ~fresh0
+                ok0 = want0 & (fresh0 | valid1[0])
+                idx0 = jnp.where(use_v0, victims1[0], tree.next_free)
+                tree = self._evict(
+                    tree, jnp.where(use_v0 & ok0, victims1, M)
+                )
+            else:
+                ok0 = want0 & fresh0
+                use_v0 = jnp.zeros((), bool)
+                idx0 = tree.next_free
             # mark the root edge's virtual loss only when the descent can
-            # proceed: if the pool is full AND the action has no child, the
-            # leaf degrades to a root re-eval whose backup never reaches
-            # this edge, so an unconditional mark would LEAK a virtual
-            # visit per descent (starving root_n once the pool fills)
-            proceed0 = (c0 != NONE) | (tree.next_free < M)
+            # proceed: a failed create degrades to a root re-eval whose
+            # backup never reaches this edge, so an unconditional mark
+            # would LEAK a virtual visit per descent
+            proceed0 = (c0 != NONE) | ok0
             mark0 = jnp.where(starting & proceed0, a0, A)
             root_virt = tree.root_virt.at[mark0].add(1, mode="drop")
             virt0 = tree.virt0 + jnp.where(starting, 1, 0)
-            root_create = starting & (c0 == NONE) & (tree.next_free < M)
-            idx0 = tree.next_free
             root_child = tree.root_child.at[
-                jnp.where(root_create, a0, A)
+                jnp.where(ok0, a0, A)
             ].set(idx0, mode="drop")
-            sent0 = jnp.where(root_create, idx0, M)
+            sent0 = jnp.where(ok0, idx0, M)
             parent = tree.parent.at[sent0].set(0, mode="drop")
             parent_slot = tree.parent_slot.at[sent0].set(NONE, mode="drop")
             parent_action = tree.parent_action.at[sent0].set(a0, mode="drop")
-            next_free = tree.next_free + jnp.where(root_create, 1, 0)
+            next_free = tree.next_free + jnp.where(ok0 & ~use_v0, 1, 0)
             is_t = iota == t
-            cur = jnp.where(is_t & starting & ~root_create, c0, cur)
+            cur = jnp.where(is_t & starting & ~ok0, c0, cur)
             nv = jnp.where(is_t, nv0, nv)
-            leaf = jnp.where(is_t & root_create, idx0, leaf)
-            created = created | (is_t & root_create)
+            leaf = jnp.where(is_t & ok0, idx0, leaf)
+            created = created | (is_t & ok0)
             tree = tree.replace(
                 root_virt=root_virt, virt0=virt0, root_child=root_child,
                 parent=parent, parent_slot=parent_slot,
                 parent_action=parent_action, next_free=next_free,
             )
+            if rc:
+                # bookkeeping + pin cursors that resolved in this section
+                # (created leaf, or failed create -> root re-eval)
+                pin0 = jnp.where(
+                    starting & ok0, idx0,
+                    jnp.where(starting & want0 & ~ok0, 0, M),
+                )
+                tree = tree.replace(
+                    child_count=tree.child_count.at[
+                        jnp.where(ok0, 0, M)
+                    ].add(1, mode="drop"),
+                    node_n=tree.node_n.at[sent0].set(
+                        tree.root_n[a0], mode="drop"
+                    ),
+                    node_virt=tree.node_virt.at[pin0].add(1, mode="drop"),
+                )
 
             # --- advance every active cursor one level -----------------
             active = cur != NONE
@@ -442,15 +544,35 @@ class MCTS:
             slots = self._select_edges(tree, cur, nv)
             action = tree.edge_action[ci, slots]
             child = tree.edge_child[ci, slots]
-            child_nv = tree.edge_n[ci, slots] + tree.edge_virt[ci, slots]
+            child_en = tree.edge_n[ci, slots]
+            child_nv = child_en + tree.edge_virt[ci, slots]
             # mark the traversed edge's virtual loss (node.rs:33-38)
             mrow = jnp.where(walking, ci, M)
             edge_virt = tree.edge_virt.at[mrow, slots].add(1, mode="drop")
 
             want_create = walking & (child == NONE)
             ranks = jnp.cumsum(want_create.astype(jnp.int32)) - 1
-            ids = tree.next_free + ranks
-            ok_create = want_create & (ids < M)
+            if rc:
+                # protect nodes cursors sit on or are moving into; then
+                # fresh slots first, victims for the overflow
+                prot = jnp.concatenate([
+                    jnp.where(active, ci, M),
+                    jnp.where(walking & (child != NONE), child, M),
+                ])
+                victims, vvalid = self._pick_victims(tree, prot, V)
+                avail = M - tree.next_free
+                vrank = ranks - avail
+                use_v = want_create & (vrank >= 0)
+                vsel = jnp.clip(vrank, 0, V - 1)
+                ok_create = want_create & jnp.where(
+                    use_v, vvalid[vsel], True
+                )
+                ids = jnp.where(use_v, victims[vsel], tree.next_free + ranks)
+                tree = self._evict(tree, jnp.where(use_v & ok_create, ids, M))
+            else:
+                ids = tree.next_free + ranks
+                ok_create = want_create & (ids < M)
+                use_v = jnp.zeros(V, bool)
             idxv = jnp.where(ok_create, ids, M)
             edge_child = tree.edge_child.at[
                 jnp.where(ok_create, ci, M), slots
@@ -458,7 +580,7 @@ class MCTS:
             parent = tree.parent.at[idxv].set(cur, mode="drop")
             parent_slot = tree.parent_slot.at[idxv].set(slots, mode="drop")
             parent_action = tree.parent_action.at[idxv].set(action, mode="drop")
-            next_free = tree.next_free + jnp.sum(ok_create)
+            next_free = tree.next_free + jnp.sum(ok_create & ~use_v)
             tree = tree.replace(
                 edge_virt=edge_virt, edge_child=edge_child, parent=parent,
                 parent_slot=parent_slot, parent_action=parent_action,
@@ -471,6 +593,16 @@ class MCTS:
             new_leaf = jnp.where(
                 stop_here, cur, jnp.where(ok_create, idxv, cur)
             )
+            if rc:
+                tree = tree.replace(
+                    child_count=tree.child_count.at[
+                        jnp.where(ok_create, ci, M)
+                    ].add(1, mode="drop"),
+                    node_n=tree.node_n.at[idxv].set(child_en, mode="drop"),
+                    node_virt=tree.node_virt.at[
+                        jnp.where(stopping & active, new_leaf, M)
+                    ].add(1, mode="drop"),
+                )
             leaf = jnp.where(stopping & active, new_leaf, leaf)
             created = created | ok_create
             cur = jnp.where(stopping | ~active, NONE_V, child)
@@ -560,6 +692,13 @@ class MCTS:
         M = self.config.max_nodes
         A = self.engine.num_actions
         V = leaves.shape[0]
+        rc = self.config.recycle
+
+        if rc:
+            # release the descent's in-flight pin (one per backup entry)
+            tree = tree.replace(
+                node_virt=tree.node_virt.at[leaves].add(-1, mode="drop")
+            )
 
         def walk_cond(carry):
             cur, _sign, _t = carry
@@ -588,6 +727,12 @@ class MCTS:
                 n0=t.n0 + jnp.sum(at_root),
                 virt0=t.virt0 - jnp.sum(at_root),
             )
+            if rc:
+                t = t.replace(
+                    node_n=t.node_n.at[
+                        jnp.where(alive, ci, M)
+                    ].add(1, mode="drop")
+                )
             cur = jnp.where(alive, p, NONE)
             return (cur, -sign, t)
 

@@ -48,6 +48,18 @@ class Tree:
     parent_action: jnp.ndarray  # int32 [M] action taken from parent
     expanded: jnp.ndarray       # bool [M] edges written (NN prior arrived)
 
+    # recycling bookkeeping [M] (all-zero and unmaintained unless
+    # SearchConfig.recycle; see mcts/search.py).  `node_n` mirrors the
+    # node's parent-edge visit count (eviction score), `node_virt` pins
+    # in-flight leaves (cursor stopped here, evaluation pending), and
+    # `child_count` counts MATERIALIZED children — a node with
+    # child_count == 0 holds no descendant statistics, so evicting it
+    # loses only its cached state/priors (one extra eval on revisit),
+    # never backed-up search statistics (those live on the parent edge).
+    node_n: jnp.ndarray         # int32 [M]
+    node_virt: jnp.ndarray      # int32 [M]
+    child_count: jnp.ndarray    # int32 [M]
+
     # edge tier [M, K]
     edge_action: jnp.ndarray    # int32 [M, K] action id or NONE
     edge_prior: jnp.ndarray     # f32  [M, K]
@@ -82,6 +94,9 @@ def init_tree(engine, root_state: GameState, max_nodes: int, k: int) -> Tree:
         parent_slot=jnp.full(M, NONE, jnp.int32),
         parent_action=jnp.full(M, NONE, jnp.int32),
         expanded=jnp.zeros(M, bool),
+        node_n=jnp.zeros(M, jnp.int32),
+        node_virt=jnp.zeros(M, jnp.int32),
+        child_count=jnp.zeros(M, jnp.int32),
         edge_action=jnp.full((M, K), NONE, jnp.int32),
         edge_prior=jnp.zeros((M, K), jnp.float32),
         edge_child=jnp.full((M, K), NONE, jnp.int32),

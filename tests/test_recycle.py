@@ -1,0 +1,183 @@
+"""Node recycling (SearchConfig.recycle): bounded pools serve deep sim
+budgets by evicting cold childless leaves.
+
+Because statistics are edge-resident, eviction loses no backed-up
+visits/values — only cached states/priors.  These tests pin the XLA
+reference implementation: structural invariants under heavy recycling,
+search semantics (win-in-1 / block-win-in-2) with pools far smaller than
+the sim budget, and zero behavior change when the flag is off.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tak_tpu.engine.core import get_engine
+from tak_tpu.game import Game
+from tak_tpu.mcts.search import MCTS, SearchConfig
+from tak_tpu.mcts.tree import NONE, root_visit_counts
+from tak_tpu.types import ONGOING, WHITE_ROAD
+
+
+def dummy_eval(engine):
+    A = engine.num_actions
+
+    def eval_fn(params, states):
+        batch = states.ply.shape[0]
+        return jnp.ones((batch, A), jnp.float32), jnp.zeros(batch, jnp.float32)
+
+    return eval_fn
+
+
+def make_mcts(engine, num_sims, wave_size=1, k=16, budget=None, recycle=True):
+    cfg = SearchConfig(
+        num_sims=num_sims, wave_size=wave_size, max_children=k,
+        node_budget=budget, recycle=recycle, backend="xla",
+    )
+    return MCTS(engine, dummy_eval(engine), cfg)
+
+
+def run_search(mcts, game, batch=1):
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), game.state
+    )
+    tree = mcts.init_batch(states)
+    tree = mcts.prepare_root(None, tree)
+    tree = mcts.run_sims(None, tree)
+    return tree
+
+
+def best_move(tree):
+    visits = np.asarray(jax.vmap(root_visit_counts)(tree))[0]
+    return int(len(visits) - 1 - np.argmax(visits[::-1]))
+
+
+def check_invariants(tree, num_sims, g=0):
+    """Structural invariants after a finished search (no virt in flight,
+    conservation of visits, link/count consistency)."""
+    M = tree.result.shape[1]
+    n0 = int(tree.n0[g])
+    assert n0 == num_sims + 1  # prepare_root + one backup per sim
+    assert int(tree.virt0[g]) == 0
+    assert not np.asarray(tree.root_virt[g]).any()
+    assert not np.asarray(tree.edge_virt[g]).any()
+    assert not np.asarray(tree.node_virt[g]).any()
+
+    root_n = np.asarray(tree.root_n[g])
+    # every sim backs up through exactly one root edge (recycling never
+    # degrades a descent to a rootward re-eval while candidates exist)
+    assert root_n.sum() == num_sims
+
+    # child_count == materialized children, node_n == parent edge visits
+    parent = np.asarray(tree.parent[g])
+    parent_slot = np.asarray(tree.parent_slot[g])
+    parent_action = np.asarray(tree.parent_action[g])
+    edge_child = np.asarray(tree.edge_child[g])
+    edge_n = np.asarray(tree.edge_n[g])
+    expanded = np.asarray(tree.expanded[g])
+    child_count = np.asarray(tree.child_count[g])
+    node_n = np.asarray(tree.node_n[g])
+    root_child = np.asarray(tree.root_child[g])
+
+    counts = np.zeros(M, np.int64)
+    attached = np.zeros(M, bool)
+    attached[0] = True
+    for a, c in enumerate(root_child):
+        if c != NONE:
+            counts[0] += 1
+            attached[c] = True
+            assert parent[c] == 0 and parent_slot[c] == NONE
+            assert parent_action[c] == a
+            assert node_n[c] == root_n[a]
+    for i in range(M):
+        if not expanded[i]:
+            continue
+        for s, c in enumerate(edge_child[i]):
+            if c != NONE:
+                counts[i] += 1
+                attached[c] = True
+                assert parent[c] == i and parent_slot[c] == s
+                assert node_n[c] == edge_n[i, s]
+    np.testing.assert_array_equal(child_count[attached], counts[attached])
+
+
+def test_recycle_invariants_tiny_pool():
+    engine = get_engine(3)
+    g = Game.from_ptn_moves(3, ["a3", "c3"])
+    mcts = make_mcts(engine, num_sims=256, wave_size=8, budget=40)
+    tree = run_search(mcts, g, batch=2)
+    assert int(tree.next_free[0]) == 40  # pool filled and held
+    for game in range(2):
+        check_invariants(tree, 256, game)
+
+
+def test_recycle_win_in_one_tiny_pool():
+    engine = get_engine(3)
+    g = Game.from_ptn_moves(3, ["a3", "c3", "c2", "a2"])
+    mcts = make_mcts(engine, num_sims=512, wave_size=4, budget=64)
+    tree = run_search(mcts, g)
+    g.play_action(best_move(tree))
+    assert g.result == WHITE_ROAD
+
+
+def test_recycle_prevent_win_in_two_tiny_pool():
+    engine = get_engine(3)
+    mcts = make_mcts(engine, num_sims=512, wave_size=4, budget=64)
+
+    g = Game.from_ptn_moves(3, ["a3", "c3", "c2"])
+    tree = run_search(mcts, g)
+    g.play_action(best_move(tree))
+    assert g.result == ONGOING
+
+    tree = run_search(mcts, g)
+    g.play_action(best_move(tree))
+    assert g.result == ONGOING
+
+
+def test_recycle_off_keeps_fields_zero():
+    engine = get_engine(3)
+    g = Game.from_ptn_moves(3, ["a3", "c3"])
+    mcts = make_mcts(engine, num_sims=64, wave_size=4, budget=32,
+                     recycle=False)
+    tree = run_search(mcts, g)
+    assert not np.asarray(tree.node_n).any()
+    assert not np.asarray(tree.node_virt).any()
+    assert not np.asarray(tree.child_count).any()
+
+
+def test_recycle_matches_full_pool_when_pool_big_enough():
+    """With a pool that never fills, recycle=True changes nothing about
+    the search statistics (the bookkeeping is pure observation)."""
+    engine = get_engine(3)
+    g = Game.from_ptn_moves(3, ["a3", "c3"])
+    t_on = run_search(make_mcts(engine, 128, wave_size=4, budget=256), g)
+    t_off = run_search(
+        make_mcts(engine, 128, wave_size=4, budget=256, recycle=False), g
+    )
+    np.testing.assert_array_equal(np.asarray(t_on.root_n),
+                                  np.asarray(t_off.root_n))
+    np.testing.assert_array_equal(np.asarray(t_on.edge_n),
+                                  np.asarray(t_off.edge_n))
+    np.testing.assert_allclose(np.asarray(t_on.root_w),
+                               np.asarray(t_off.root_w))
+
+
+def test_recycle_quality_near_full_pool():
+    """Root visit distributions with a 1/4-size pool stay close to the
+    unbounded search (uniform dummy net, mid-game position)."""
+    engine = get_engine(5)
+    g = Game.from_ptn_moves(5, ["a1", "e5", "c3", "c4", "d3", "b4"])
+    sims = 384
+    t_small = run_search(
+        make_mcts(engine, sims, wave_size=8, budget=sims // 4), g
+    )
+    t_full = run_search(
+        make_mcts(engine, sims, wave_size=8, budget=sims + 2, recycle=False), g
+    )
+    p_small = np.asarray(jax.vmap(root_visit_counts)(t_small))[0].astype(float)
+    p_full = np.asarray(jax.vmap(root_visit_counts)(t_full))[0].astype(float)
+    p_small /= p_small.sum()
+    p_full /= p_full.sum()
+    tv = 0.5 * np.abs(p_small - p_full).sum()
+    assert tv < 0.25, tv
