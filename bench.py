@@ -37,6 +37,14 @@ MCTS_SIMS = int(os.environ.get("BENCH_MCTS_SIMS", 512))
 # docs/ROADMAP.md.
 MCTS_WAVE = int(os.environ.get("BENCH_MCTS_WAVE", 32))
 MCTS_K = int(os.environ.get("BENCH_MCTS_K", 32))
+# reference self-play config (train/src/self_play.rs:10-19,94): 32
+# lockstep games x 10,000 rollouts/move — the production number, reported
+# as an extra so the headline can't drift from what training actually
+# sees.  BENCH_SP=0 skips it.
+SP_ENABLE = os.environ.get("BENCH_SP", "1") == "1"
+SP_WORKERS = int(os.environ.get("BENCH_SP_WORKERS", 32))
+SP_SIMS = int(os.environ.get("BENCH_SP_SIMS", 10_000))
+SP_MOVES = int(os.environ.get("BENCH_SP_MOVES", 2))
 
 
 def bench_env(engine):
@@ -146,12 +154,70 @@ def bench_mcts(engine):
     return sims / dt
 
 
+def bench_selfplay(engine):
+    """End-to-end self-play at the reference config (10k rollouts, 32
+    lockstep games): whole SelfPlayActor moves — search + selection +
+    example capture + tree re-rooting — on the recycled VMEM-tier pool."""
+    from tak_tpu.mcts.search import SearchConfig
+    from tak_tpu.model.network import Network
+    from tak_tpu.selfplay import SelfPlayActor, SelfPlayConfig
+
+    net = Network(engine)
+    variables = net.init_variables(0)
+    cfg = SelfPlayConfig(
+        games=10_000_000,  # stopped by move count below
+        workers=SP_WORKERS,
+        search=SearchConfig(num_sims=SP_SIMS, wave_size=16, max_children=32,
+                            recycle=True),
+    )
+    actor = SelfPlayActor(engine, lambda p, s: net.policy_eval_states(p, s),
+                          cfg)
+
+    state = {"moves": 0, "t_warm": None, "t_end": None}
+
+    class StopAfter(Exception):
+        pass
+
+    orig = actor.mcts.run_sims
+
+    def counting(params, tree):
+        out = orig(params, tree)
+        jax.device_get(out.n0[0])
+        state["moves"] += 1
+        if state["moves"] == 1:
+            state["t_warm"] = time.perf_counter()
+        if state["moves"] >= SP_MOVES + 1:
+            state["t_end"] = time.perf_counter()
+            raise StopAfter
+        return out
+
+    actor.mcts.__dict__["run_sims"] = counting
+    try:
+        actor.run(variables, seed=0, log=lambda *a, **k: None)
+    except StopAfter:
+        pass
+    dt = state["t_end"] - state["t_warm"]
+    return SP_WORKERS * SP_SIMS * SP_MOVES / dt
+
+
 def main():
     from tak_tpu.engine.core import get_engine
 
     engine = get_engine(N)
     env_rate = bench_env(engine)
     mcts_rate = bench_mcts(engine)
+    sp_rate = None
+    if SP_ENABLE:
+        try:
+            sp_rate = bench_selfplay(engine)
+        except Exception:
+            sp_rate = None
+    extras = {}
+    if sp_rate is not None:
+        extras["selfplay_sims_per_s"] = round(sp_rate)
+        extras["selfplay_config"] = {
+            "workers": SP_WORKERS, "rollouts": SP_SIMS, "recycle": True,
+        }
     print(json.dumps({
         "metric": f"mcts_sims_per_s_{N}x{N}",
         "value": round(mcts_rate),
@@ -162,6 +228,7 @@ def main():
         "device": str(jax.devices()[0]),
         "config": {"env_batch": ENV_BATCH, "mcts_batch": MCTS_BATCH,
                    "mcts_sims": MCTS_SIMS, "wave": MCTS_WAVE, "k": MCTS_K},
+        **extras,
     }))
 
 

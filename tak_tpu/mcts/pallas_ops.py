@@ -103,6 +103,60 @@ def _c_puct(n, base, init):
     return jnp.log((1.0 + n + base) / base) + init
 
 
+_INT_INF = 2**30  # python int: jnp constants would be captured as tracers
+
+
+def _evict_alloc(want, nf, cur, *, M, Mr, K, aidx,
+                 node_n, node_virt, child_count, expanded,
+                 parent, parent_slot, parent_action,
+                 edge_child, root_child):
+    """Node-slot allocation with recycling: a fresh slot while the pool
+    has room, else evict the coldest eviction candidate (childless,
+    unpinned, non-root, != `cur`) — min node_n, ties toward the LOWEST
+    index (matches MCTS._pick_victims' top_k tie-break).  Eviction
+    detaches the victim from its parent (edge or dense root tier) but
+    keeps the parent edge's statistics: selection still sees the
+    aggregate, the subtree re-materializes on demand.  Returns
+    (slot, ok, new_nf); refs mutate only when evicting."""
+    fresh = nf < M
+    flat = _flat_iota(Mr, LANES)
+    cand = (
+        (child_count[...] == 0) & (node_virt[...] == 0)
+        & (flat > 0) & (flat < M) & (flat != cur)
+    )
+    score = jnp.where(cand, node_n[...], _INT_INF)
+    m = jnp.min(score)
+    victim = jnp.min(jnp.where(score == m, flat, _INT_INF))
+    have = m < _INT_INF
+
+    @pl.when(want & ~fresh & have)
+    def _():
+        pv = _read_flat(parent, victim)
+        sv = _read_flat(parent_slot, victim)
+        av = _read_flat(parent_action, victim)
+        is_root_edge = (pv == 0) & (sv == NONE)
+
+        @pl.when(is_root_edge)
+        def _():
+            root_child[...] = jnp.where(aidx == av, NONE, root_child[...])
+
+        @pl.when(~is_root_edge)
+        def _():
+            row = edge_child[pl.ds(pv, 1), :]
+            edge_child[pl.ds(pv, 1), :] = jnp.where(
+                _lane_iota((1, K)) == sv, NONE, row
+            )
+
+        _write_flat(child_count, pv, _read_flat(child_count, pv) - 1)
+        _write_flat(expanded, victim, 0)
+        _write_flat(node_n, victim, 0)
+
+    slot = jnp.where(fresh, nf, victim)
+    ok = want & (fresh | have)
+    new_nf = nf + jnp.where(want & fresh, 1, 0)
+    return slot, ok, new_nf
+
+
 # ---------------------------------------------------------------------------
 # Descent kernel: one wave of V sequential virtual-loss descents per game.
 # ---------------------------------------------------------------------------
@@ -122,19 +176,26 @@ def _descend_kernel(
     edge_w_ref,          # (M, K) f32
     edge_virt_in,        # (M, K) i32
     edge_child_in,       # (M, K) i32
-    expanded_ref,        # (Mr, 128) i32
+    expanded_in,         # (Mr, 128) i32
     parent_in,           # (Mr, 128) i32
     parent_slot_in,      # (Mr, 128) i32
     parent_action_in,    # (Mr, 128) i32
+    node_n_in,           # (Mr, 128) i32  (recycling bookkeeping)
+    node_virt_in,        # (Mr, 128) i32
+    child_count_in,      # (Mr, 128) i32
     # outputs
     scal_out,            # SMEM (1, 4) i32
     root_virt_out,       # (Ar, 128) i32
     root_child_out,      # (Ar, 128) i32
     edge_virt_out,       # (M, K) i32
     edge_child_out,      # (M, K) i32
+    expanded_out,        # (Mr, 128) i32
     parent_out,          # (Mr, 128) i32
     parent_slot_out,     # (Mr, 128) i32
     parent_action_out,   # (Mr, 128) i32
+    node_n_out,          # (Mr, 128) i32
+    node_virt_out,       # (Mr, 128) i32
+    child_count_out,     # (Mr, 128) i32
     leaf_ref,            # (1, V) i32
     created_ref,         # (1, V) i32
     *,
@@ -142,17 +203,23 @@ def _descend_kernel(
     M: int,
     K: int,
     Ar: int,
+    Mr: int,
     base: float,
     init: float,
+    recycle: bool,
 ):
     # carry mutable state through to the outputs
     root_virt_out[...] = root_virt_in[...]
     root_child_out[...] = root_child_in[...]
     edge_virt_out[...] = edge_virt_in[...]
     edge_child_out[...] = edge_child_in[...]
+    expanded_out[...] = expanded_in[...]
     parent_out[...] = parent_in[...]
     parent_slot_out[...] = parent_slot_in[...]
     parent_action_out[...] = parent_action_in[...]
+    node_n_out[...] = node_n_in[...]
+    node_virt_out[...] = node_virt_in[...]
+    child_count_out[...] = child_count_in[...]
     leaf_ref[...] = jnp.zeros((1, V), jnp.int32)
     created_ref[...] = jnp.zeros((1, V), jnp.int32)
 
@@ -160,6 +227,19 @@ def _descend_kernel(
     aidx = _flat_iota(Ar, LANES)
     kidx = _lane_iota((1, K))
     vidx = _lane_iota((1, V))
+
+    def alloc(want, nf, cur):
+        if recycle:
+            return _evict_alloc(
+                want, nf, cur, M=M, Mr=Mr, K=K, aidx=aidx,
+                node_n=node_n_out, node_virt=node_virt_out,
+                child_count=child_count_out, expanded=expanded_out,
+                parent=parent_out, parent_slot=parent_slot_out,
+                parent_action=parent_action_out,
+                edge_child=edge_child_out, root_child=root_child_out,
+            )
+        ok = want & (nf < M)
+        return nf, ok, nf + jnp.where(ok, 1, 0)
 
     def one_descent(v, carry):
         virt0, next_free = carry
@@ -186,32 +266,35 @@ def _descend_kernel(
         onehot = aidx == a0
         c0 = jnp.sum(jnp.where(onehot, root_child_out[...], 0))
         nv0 = jnp.sum(jnp.where(onehot, rn + rv, 0))
+        slot0, ok0, next_free = alloc(c0 == NONE, next_free, 0)
         # mark the virtual visit (pre-mark nv0, as upstream) — but only
-        # when the descent can proceed: a pool-full rootward create
-        # failure degrades to a root re-eval whose backup never reaches
+        # when the descent can proceed: a failed rootward create
+        # degrades to a root re-eval whose backup never reaches
         # this edge, so marking would leak a virtual visit per descent
-        proceed0 = (c0 != NONE) | (next_free < M)
-        root_virt_out[...] = rv + jnp.where(
+        proceed0 = (c0 != NONE) | ok0
+        root_virt_out[...] = root_virt_out[...] + jnp.where(
             proceed0, onehot.astype(jnp.int32), 0
         )
         virt0 = virt0 + 1
 
-        create0 = (c0 == NONE) & (next_free < M)
-
-        @pl.when(create0)
+        @pl.when(ok0)
         def _():
             root_child_out[...] = jnp.where(
-                onehot, next_free, root_child_out[...]
+                onehot, slot0, root_child_out[...]
             )
-            _write_flat(parent_out, next_free, 0)
-            _write_flat(parent_slot_out, next_free, NONE)
-            _write_flat(parent_action_out, next_free, a0)
+            _write_flat(parent_out, slot0, 0)
+            _write_flat(parent_slot_out, slot0, NONE)
+            _write_flat(parent_action_out, slot0, a0)
+            if recycle:
+                _write_flat(child_count_out, 0,
+                            _read_flat(child_count_out, 0) + 1)
+                _write_flat(node_n_out, slot0,
+                            jnp.sum(jnp.where(onehot, rn, 0)))
 
-        # pool exhausted at the root -> re-evaluate the root (leaf 0)
-        leaf_v = jnp.where(create0, next_free, 0)
-        created_v = jnp.where(create0, 1, 0)
-        next_free = next_free + jnp.where(create0, 1, 0)
-        cur = jnp.where(create0, NONE, c0)
+        # create failed at the root -> re-evaluate the root (leaf 0)
+        leaf_v = jnp.where(ok0, slot0, 0)
+        created_v = jnp.where(ok0, 1, 0)
+        cur = jnp.where(ok0, NONE, c0)
 
         # ---- walk down the tree until a leaf resolves ------------------
         def wcond(c):
@@ -219,7 +302,7 @@ def _descend_kernel(
 
         def wbody(c):
             cur, nv, leaf_v, created_v, nf = c
-            exp = _read_flat(expanded_ref, cur) != 0
+            exp = _read_flat(expanded_out, cur) != 0
 
             ea = edge_action_ref[pl.ds(cur, 1), :]
             ev = edge_virt_out[pl.ds(cur, 1), :]
@@ -247,7 +330,7 @@ def _descend_kernel(
             cnv = jnp.sum(jnp.where(oh, en + ev, 0))
 
             want_create = exp & (child == NONE)
-            ok_create = want_create & (nf < M)
+            slot_c, ok_create, nf = alloc(want_create, nf, cur)
 
             @pl.when(exp)
             def _():
@@ -255,18 +338,25 @@ def _descend_kernel(
 
             @pl.when(ok_create)
             def _():
-                edge_child_out[pl.ds(cur, 1), :] = jnp.where(oh, nf, ec)
-                _write_flat(parent_out, nf, cur)
-                _write_flat(parent_slot_out, nf, slot)
-                _write_flat(parent_action_out, nf, action)
+                # re-read the row: an eviction in alloc() may have
+                # detached a sibling from this very row
+                row = edge_child_out[pl.ds(cur, 1), :]
+                edge_child_out[pl.ds(cur, 1), :] = jnp.where(oh, slot_c, row)
+                _write_flat(parent_out, slot_c, cur)
+                _write_flat(parent_slot_out, slot_c, slot)
+                _write_flat(parent_action_out, slot_c, action)
+                if recycle:
+                    _write_flat(child_count_out, cur,
+                                _read_flat(child_count_out, cur) + 1)
+                    _write_flat(node_n_out, slot_c,
+                                jnp.sum(jnp.where(oh, en, 0)))
 
             # stop at pending/terminal nodes (leaf = cur, re-evaluated),
-            # on creation (leaf = new node), or pool-full (leaf = cur)
+            # on creation (leaf = new node), or failed create (leaf = cur)
             stopping = ~exp | want_create
-            new_leaf = jnp.where(ok_create, nf, cur)
+            new_leaf = jnp.where(ok_create, slot_c, cur)
             leaf_v = jnp.where(stopping, new_leaf, leaf_v)
             created_v = jnp.where(ok_create, 1, created_v)
-            nf = nf + jnp.where(ok_create, 1, 0)
             nxt = jnp.where(stopping, NONE, child)
             nv = jnp.where(stopping, nv, cnv)
             return (nxt, nv, leaf_v, created_v, nf)
@@ -274,6 +364,12 @@ def _descend_kernel(
         cur, _, leaf_v, created_v, next_free = jax.lax.while_loop(
             wcond, wbody, (cur, nv0, leaf_v, created_v, next_free)
         )
+
+        if recycle:
+            # pin the resolved leaf until its backup releases it — keeps
+            # in-flight leaves out of later descents' eviction candidates
+            _write_flat(node_virt_out, leaf_v,
+                        _read_flat(node_virt_out, leaf_v) + 1)
 
         is_v = vidx == v
         leaf_ref[...] = jnp.where(is_v, leaf_v, leaf_ref[...])
@@ -317,6 +413,8 @@ def _expand_backup_kernel(
     edge_n_in,           # (M, K) i32
     edge_virt_in,        # (M, K) i32
     edge_w_in,           # (M, K) f32
+    node_n_in,           # (Mr, 128) i32  (recycling bookkeeping)
+    node_virt_in,        # (Mr, 128) i32
     # outputs
     scal_out,            # SMEM (1, 4) i32
     expanded_out,        # (Mr, 128) i32
@@ -329,11 +427,14 @@ def _expand_backup_kernel(
     edge_n_out,          # (M, K) i32
     edge_virt_out,       # (M, K) i32
     edge_w_out,          # (M, K) f32
+    node_n_out,          # (Mr, 128) i32
+    node_virt_out,       # (Mr, 128) i32
     *,
     V: int,
     K: int,
     Ar: int,
     ongoing: int,
+    recycle: bool,
 ):
     expanded_out[...] = expanded_in[...]
     root_n_out[...] = root_n_in[...]
@@ -345,6 +446,8 @@ def _expand_backup_kernel(
     edge_n_out[...] = edge_n_in[...]
     edge_virt_out[...] = edge_virt_in[...]
     edge_w_out[...] = edge_w_in[...]
+    node_n_out[...] = node_n_in[...]
+    node_virt_out[...] = node_virt_in[...]
 
     aidx = _flat_iota(Ar, LANES)
 
@@ -363,6 +466,10 @@ def _expand_backup_kernel(
             jnp.where(tomove_ref[0, v] == winner, 1.0, -1.0),
         )
         val = jnp.where(res != ongoing, term_val, values_ref[0, v])
+        if recycle:
+            # release the descent's in-flight pin (one per backup entry)
+            _write_flat(node_virt_out, cur,
+                        _read_flat(node_virt_out, cur) - 1)
 
         # ---- expansion: install the leaf's top-K prior row -------------
         # Skip terminal leaves, the root (prepare_root owns it), and
@@ -392,6 +499,9 @@ def _expand_backup_kernel(
 
         def wbody(c):
             cur, sign, n0, virt0 = c
+            if recycle:
+                _write_flat(node_n_out, cur,
+                            _read_flat(node_n_out, cur) + 1)
             p = _read_flat(parent_ref, cur)
             s = _read_flat(parent_slot_ref, cur)
             a = _read_flat(parent_action_ref, cur)
@@ -457,7 +567,8 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
     Mr = _cdiv(M, LANES)
 
     kernel = partial(
-        _expand_backup_kernel, V=V, K=K, Ar=Ar, ongoing=int(ONGOING)
+        _expand_backup_kernel, V=V, K=K, Ar=Ar, ongoing=int(ONGOING),
+        recycle=bool(config.recycle),
     )
 
     vspec = lambda *shape: pl.BlockSpec(
@@ -502,6 +613,8 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
             jax.ShapeDtypeStruct((B, M, K), i32),         # edge_n
             jax.ShapeDtypeStruct((B, M, K), i32),         # edge_virt
             jax.ShapeDtypeStruct((B, M, K), f32),         # edge_w
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # node_n
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # node_virt
         )
         outs = pl.pallas_call(
             kernel,
@@ -514,6 +627,7 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
                 vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
                 vspec(M, K), vspec(M, K), vspec(M, K),
                 vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(Mr, LANES), vspec(Mr, LANES),
             ],
             out_specs=(
                 sspec,
@@ -521,6 +635,7 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
                 vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
                 vspec(M, K), vspec(M, K), vspec(M, K),
                 vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(Mr, LANES), vspec(Mr, LANES),
             ),
             out_shape=out_shapes,
             interpret=interpret,
@@ -540,9 +655,11 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
             to_rows(tree.root_w.astype(f32), padA, Ar),
             tree.edge_action, tree.edge_prior.astype(f32), tree.edge_child,
             tree.edge_n, tree.edge_virt, tree.edge_w.astype(f32),
+            to_rows(tree.node_n, padM, Mr),
+            to_rows(tree.node_virt, padM, Mr),
         )
         (scal_o, exp_o, rn_o, rv_o, rw_o,
-         ea_o, ep_o, ec_o, en_o, ev_o, ew_o) = outs
+         ea_o, ep_o, ec_o, en_o, ev_o, ew_o, nn_o, nvt_o) = outs
 
         def from_rows(x, n):
             return x.reshape(B, -1)[:, :n]
@@ -558,6 +675,8 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
             edge_n=en_o,
             edge_virt=ev_o,
             edge_w=ew_o,
+            node_n=from_rows(nn_o, M),
+            node_virt=from_rows(nvt_o, M),
             n0=scal_o[:, 0, 0],
             virt0=scal_o[:, 0, 1],
         )
@@ -598,6 +717,9 @@ def _backup_descend_kernel(
     parent_in,           # (Mr, 128) i32
     parent_slot_in,      # (Mr, 128) i32
     parent_action_in,    # (Mr, 128) i32
+    node_n_in,           # (Mr, 128) i32  (recycling bookkeeping)
+    node_virt_in,        # (Mr, 128) i32
+    child_count_in,      # (Mr, 128) i32
     # outputs
     scal_out,            # SMEM (1, 4) i32
     root_n_out,
@@ -614,6 +736,9 @@ def _backup_descend_kernel(
     parent_out,
     parent_slot_out,
     parent_action_out,
+    node_n_out,
+    node_virt_out,
+    child_count_out,
     leaf_ref,            # (1, V) i32
     created_ref,         # (1, V) i32
     *,
@@ -621,9 +746,11 @@ def _backup_descend_kernel(
     M: int,
     K: int,
     Ar: int,
+    Mr: int,
     base: float,
     init: float,
     ongoing: int,
+    recycle: bool,
 ):
     # carry mutable state through to the outputs
     root_n_out[...] = root_n_in[...]
@@ -640,6 +767,9 @@ def _backup_descend_kernel(
     parent_out[...] = parent_in[...]
     parent_slot_out[...] = parent_slot_in[...]
     parent_action_out[...] = parent_action_in[...]
+    node_n_out[...] = node_n_in[...]
+    node_virt_out[...] = node_virt_in[...]
+    child_count_out[...] = child_count_in[...]
     leaf_ref[...] = jnp.zeros((1, V), jnp.int32)
     created_ref[...] = jnp.zeros((1, V), jnp.int32)
 
@@ -662,6 +792,10 @@ def _backup_descend_kernel(
             jnp.where(tomove_ref[0, v] == winner, 1.0, -1.0),
         )
         val = jnp.where(res != ongoing, term_val, values_ref[0, v])
+        if recycle:
+            # release the descent's in-flight pin (one per backup entry)
+            _write_flat(node_virt_out, cur,
+                        _read_flat(node_virt_out, cur) - 1)
 
         was_expanded = _read_flat(expanded_out, cur) != 0
         do_expand = (res == ongoing) & (cur != 0) & ~was_expanded
@@ -685,6 +819,9 @@ def _backup_descend_kernel(
 
         def wbody(c):
             cur, sign, n0, virt0 = c
+            if recycle:
+                _write_flat(node_n_out, cur,
+                            _read_flat(node_n_out, cur) + 1)
             p = _read_flat(parent_out, cur)
             s = _read_flat(parent_slot_out, cur)
             a = _read_flat(parent_action_out, cur)
@@ -741,6 +878,19 @@ def _backup_descend_kernel(
     virt0 = scal_out[0, 1]
 
     # ---- phase 2: this wave's V sequential virtual-loss descents ---------
+    def alloc(want, nf, cur):
+        if recycle:
+            return _evict_alloc(
+                want, nf, cur, M=M, Mr=Mr, K=K, aidx=aidx,
+                node_n=node_n_out, node_virt=node_virt_out,
+                child_count=child_count_out, expanded=expanded_out,
+                parent=parent_out, parent_slot=parent_slot_out,
+                parent_action=parent_action_out,
+                edge_child=edge_child_out, root_child=root_child_out,
+            )
+        ok = want & (nf < M)
+        return nf, ok, nf + jnp.where(ok, 1, 0)
+
     def one_descent(v, carry):
         virt0, next_free = carry
 
@@ -765,29 +915,32 @@ def _backup_descend_kernel(
         onehot = aidx == a0
         c0 = jnp.sum(jnp.where(onehot, root_child_out[...], 0))
         nv0 = jnp.sum(jnp.where(onehot, rn + rv, 0))
-        # no mark on a pool-full rootward create failure (leak otherwise;
+        slot0, ok0, next_free = alloc(c0 == NONE, next_free, 0)
+        # no mark on a failed rootward create (leak otherwise;
         # see _descend_kernel)
-        proceed0 = (c0 != NONE) | (next_free < M)
-        root_virt_out[...] = rv + jnp.where(
+        proceed0 = (c0 != NONE) | ok0
+        root_virt_out[...] = root_virt_out[...] + jnp.where(
             proceed0, onehot.astype(jnp.int32), 0
         )
         virt0 = virt0 + 1
 
-        create0 = (c0 == NONE) & (next_free < M)
-
-        @pl.when(create0)
+        @pl.when(ok0)
         def _():
             root_child_out[...] = jnp.where(
-                onehot, next_free, root_child_out[...]
+                onehot, slot0, root_child_out[...]
             )
-            _write_flat(parent_out, next_free, 0)
-            _write_flat(parent_slot_out, next_free, NONE)
-            _write_flat(parent_action_out, next_free, a0)
+            _write_flat(parent_out, slot0, 0)
+            _write_flat(parent_slot_out, slot0, NONE)
+            _write_flat(parent_action_out, slot0, a0)
+            if recycle:
+                _write_flat(child_count_out, 0,
+                            _read_flat(child_count_out, 0) + 1)
+                _write_flat(node_n_out, slot0,
+                            jnp.sum(jnp.where(onehot, rn, 0)))
 
-        leaf_v = jnp.where(create0, next_free, 0)
-        created_v = jnp.where(create0, 1, 0)
-        next_free = next_free + jnp.where(create0, 1, 0)
-        cur = jnp.where(create0, NONE, c0)
+        leaf_v = jnp.where(ok0, slot0, 0)
+        created_v = jnp.where(ok0, 1, 0)
+        cur = jnp.where(ok0, NONE, c0)
 
         def wcond(c):
             return c[0] != NONE
@@ -822,7 +975,7 @@ def _backup_descend_kernel(
             cnv = jnp.sum(jnp.where(oh, en + ev, 0))
 
             want_create = exp & (child == NONE)
-            ok_create = want_create & (nf < M)
+            slot_c, ok_create, nf = alloc(want_create, nf, cur)
 
             @pl.when(exp)
             def _():
@@ -830,16 +983,23 @@ def _backup_descend_kernel(
 
             @pl.when(ok_create)
             def _():
-                edge_child_out[pl.ds(cur, 1), :] = jnp.where(oh, nf, ec)
-                _write_flat(parent_out, nf, cur)
-                _write_flat(parent_slot_out, nf, slot)
-                _write_flat(parent_action_out, nf, action)
+                # re-read the row: an eviction in alloc() may have
+                # detached a sibling from this very row
+                row = edge_child_out[pl.ds(cur, 1), :]
+                edge_child_out[pl.ds(cur, 1), :] = jnp.where(oh, slot_c, row)
+                _write_flat(parent_out, slot_c, cur)
+                _write_flat(parent_slot_out, slot_c, slot)
+                _write_flat(parent_action_out, slot_c, action)
+                if recycle:
+                    _write_flat(child_count_out, cur,
+                                _read_flat(child_count_out, cur) + 1)
+                    _write_flat(node_n_out, slot_c,
+                                jnp.sum(jnp.where(oh, en, 0)))
 
             stopping = ~exp | want_create
-            new_leaf = jnp.where(ok_create, nf, cur)
+            new_leaf = jnp.where(ok_create, slot_c, cur)
             leaf_v = jnp.where(stopping, new_leaf, leaf_v)
             created_v = jnp.where(ok_create, 1, created_v)
-            nf = nf + jnp.where(ok_create, 1, 0)
             nxt = jnp.where(stopping, NONE, child)
             nv = jnp.where(stopping, nv, cnv)
             return (nxt, nv, leaf_v, created_v, nf)
@@ -847,6 +1007,11 @@ def _backup_descend_kernel(
         cur, _, leaf_v, created_v, next_free = jax.lax.while_loop(
             wcond, wbody, (cur, nv0, leaf_v, created_v, next_free)
         )
+
+        if recycle:
+            # pin the resolved leaf until its backup releases it
+            _write_flat(node_virt_out, leaf_v,
+                        _read_flat(node_virt_out, leaf_v) + 1)
 
         is_v = vidx == v
         leaf_ref[...] = jnp.where(is_v, leaf_v, leaf_ref[...])
@@ -878,10 +1043,11 @@ def build_backup_descend_wave(engine, config, *, interpret: bool = False):
 
     kernel = partial(
         _backup_descend_kernel,
-        V=V, M=M, K=K, Ar=Ar,
+        V=V, M=M, K=K, Ar=Ar, Mr=Mr,
         base=float(config.exploration_base),
         init=float(config.exploration_init),
         ongoing=int(ONGOING),
+        recycle=bool(config.recycle),
     )
 
     vspec = lambda *shape: pl.BlockSpec(
@@ -934,6 +1100,9 @@ def build_backup_descend_wave(engine, config, *, interpret: bool = False):
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_slot
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_action
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # node_n
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # node_virt
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # child_count
             jax.ShapeDtypeStruct((B, 1, V), i32),         # leaf
             jax.ShapeDtypeStruct((B, 1, V), i32),         # created
         )
@@ -951,6 +1120,7 @@ def build_backup_descend_wave(engine, config, *, interpret: bool = False):
                 vspec(M, K), vspec(M, K), vspec(M, K),
                 vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
                 vspec(Mr, LANES),
+                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
             ],
             out_specs=(
                 sspec,
@@ -960,6 +1130,7 @@ def build_backup_descend_wave(engine, config, *, interpret: bool = False):
                 vspec(M, K), vspec(M, K), vspec(M, K),
                 vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
                 vspec(Mr, LANES),
+                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
                 ospec2(V), ospec2(V),
             ),
             out_shape=out_shapes,
@@ -983,10 +1154,13 @@ def build_backup_descend_wave(engine, config, *, interpret: bool = False):
             to_rows(tree.parent, padM, Mr),
             to_rows(tree.parent_slot, padM, Mr),
             to_rows(tree.parent_action, padM, Mr),
+            to_rows(tree.node_n, padM, Mr),
+            to_rows(tree.node_virt, padM, Mr),
+            to_rows(tree.child_count, padM, Mr),
         )
         (scal_o, rn_o, rv_o, rw_o, rc_o,
          ea_o, ep_o, ec_o, en_o, ev_o, ew_o,
-         exp_o, p_o, ps_o, pa_o, leaf, created) = outs
+         exp_o, p_o, ps_o, pa_o, nn_o, nvt_o, cc_o, leaf, created) = outs
 
         def from_rows(x, n):
             return x.reshape(B, -1)[:, :n]
@@ -1006,6 +1180,9 @@ def build_backup_descend_wave(engine, config, *, interpret: bool = False):
             parent=from_rows(p_o, M),
             parent_slot=from_rows(ps_o, M),
             parent_action=from_rows(pa_o, M),
+            node_n=from_rows(nn_o, M),
+            node_virt=from_rows(nvt_o, M),
+            child_count=from_rows(cc_o, M),
             n0=scal_o[:, 0, 0],
             virt0=scal_o[:, 0, 1],
             next_free=scal_o[:, 0, 2],
@@ -1027,9 +1204,10 @@ def build_descend_wave(engine, config, *, interpret: bool = False):
 
     kernel = partial(
         _descend_kernel,
-        V=V, M=M, K=K, Ar=Ar,
+        V=V, M=M, K=K, Ar=Ar, Mr=Mr,
         base=float(config.exploration_base),
         init=float(config.exploration_init),
+        recycle=bool(config.recycle),
     )
 
     vspec = lambda *shape: pl.BlockSpec(
@@ -1068,9 +1246,13 @@ def build_descend_wave(engine, config, *, interpret: bool = False):
             jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_child
             jax.ShapeDtypeStruct((B, M, K), i32),         # edge_virt
             jax.ShapeDtypeStruct((B, M, K), i32),         # edge_child
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # expanded
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_slot
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_action
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # node_n
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # node_virt
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # child_count
             jax.ShapeDtypeStruct((B, 1, V), i32),         # leaf
             jax.ShapeDtypeStruct((B, 1, V), i32),         # created
         )
@@ -1085,11 +1267,14 @@ def build_descend_wave(engine, config, *, interpret: bool = False):
                 vspec(M, K), vspec(M, K), vspec(M, K),
                 vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
                 vspec(Mr, LANES),
+                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
             ],
             out_specs=(
                 sspec,
                 vspec(Ar, LANES), vspec(Ar, LANES),
                 vspec(M, K), vspec(M, K),
+                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
+                vspec(Mr, LANES),
                 vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
                 ospec2(V), ospec2(V),
             ),
@@ -1109,8 +1294,12 @@ def build_descend_wave(engine, config, *, interpret: bool = False):
             to_rows(tree.parent, padM, Mr),
             to_rows(tree.parent_slot, padM, Mr),
             to_rows(tree.parent_action, padM, Mr),
+            to_rows(tree.node_n, padM, Mr),
+            to_rows(tree.node_virt, padM, Mr),
+            to_rows(tree.child_count, padM, Mr),
         )
-        (scal_o, rv_o, rc_o, ev_o, ec_o, p_o, ps_o, pa_o, leaf, created) = outs
+        (scal_o, rv_o, rc_o, ev_o, ec_o, exp_o, p_o, ps_o, pa_o,
+         nn_o, nvt_o, cc_o, leaf, created) = outs
 
         def from_rows(x, n):
             return x.reshape(B, -1)[:, :n]
@@ -1120,9 +1309,13 @@ def build_descend_wave(engine, config, *, interpret: bool = False):
             root_child=from_rows(rc_o, A),
             edge_virt=ev_o,
             edge_child=ec_o,
+            expanded=from_rows(exp_o, M).astype(bool),
             parent=from_rows(p_o, M),
             parent_slot=from_rows(ps_o, M),
             parent_action=from_rows(pa_o, M),
+            node_n=from_rows(nn_o, M),
+            node_virt=from_rows(nvt_o, M),
+            child_count=from_rows(cc_o, M),
             virt0=scal_o[:, 0, 1],
             next_free=scal_o[:, 0, 2],
         )

@@ -1022,6 +1022,43 @@ class MCTS:
 
         return run
 
+    @staticmethod
+    def _gamma_fixed(rng, alpha, shape, iters: int = 4):
+        """Gamma(alpha) sampler with a FIXED iteration count.
+
+        `jax.random.gamma`'s rejection loop lowers to a data-dependent
+        `while_loop` that costs ~3 s for a (32, 9036) draw on this
+        backend (measured; tools/profile_move_phases.py) — 80% of a
+        512-sim self-play move.  This is Marsaglia-Tsang (2000) squeeze
+        sampling unrolled to `iters` fixed tries (vectorized, no control
+        flow): per-try acceptance is >95% for the boosted alpha+1, so
+        P(no accept) < 1e-5; stragglers fall back to the distribution
+        mean.  alpha < 1 uses the exact boost Gamma(a) =
+        Gamma(a+1) * U^(1/a).
+        """
+        boost_needed = alpha < 1.0
+        a = jnp.where(boost_needed, alpha + 1.0, alpha)
+        d = a - 1.0 / 3.0
+        c = 1.0 / jnp.sqrt(9.0 * d)
+        rng, k_boost = jax.random.split(rng)
+        keys = jax.random.split(rng, 2 * iters)
+
+        out = jnp.full(shape, d, jnp.float32)  # fallback: the mean
+        accepted = jnp.zeros(shape, bool)
+        for i in range(iters):
+            x = jax.random.normal(keys[2 * i], shape)
+            u = jax.random.uniform(keys[2 * i + 1], shape, minval=1e-12)
+            v = (1.0 + c * x) ** 3
+            ok = (v > 0) & (
+                jnp.log(u) < 0.5 * x * x + d - d * v
+                + d * jnp.log(jnp.maximum(v, 1e-12))
+            )
+            take = ok & ~accepted
+            out = jnp.where(take, d * v, out)
+            accepted = accepted | ok
+        boost = jax.random.uniform(k_boost, shape, minval=1e-12) ** (1.0 / alpha)
+        return jnp.where(boost_needed, out * boost, out)
+
     @cached_property
     def add_noise(self):
         """Dirichlet root noise: p <- ratio*noise + (1-ratio)*p (noise.rs:6-16)."""
@@ -1029,7 +1066,7 @@ class MCTS:
         @jax.jit
         def run(rng, tree_b: Tree, alpha, ratio, apply_mask):
             B, A = tree_b.root_prior.shape
-            gammas = jax.random.gamma(rng, alpha, (B, A))
+            gammas = self._gamma_fixed(rng, alpha, (B, A))
             gammas = jnp.where(tree_b.root_legal, gammas, 0.0)
             noise = gammas / jnp.maximum(gammas.sum(-1, keepdims=True), 1e-30)
             mixed = ratio * noise + (1.0 - ratio) * tree_b.root_prior

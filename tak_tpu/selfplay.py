@@ -39,6 +39,10 @@ from .mcts.tree import root_visit_counts
 from .types import ONGOING, GameState, result_winner
 
 INSTANT_WIN_VISITS = 1000  # fake visits for winning moves (self_play.rs:131)
+# default node pool for recycled searches: fits the VMEM kernel tier
+# (edge tier ~3KB/node at lane-padded K) with headroom for the engine
+# state arrays; eviction serves sim budgets far beyond the pool size
+RECYCLE_POOL = 1280
 
 
 @dataclass
@@ -78,14 +82,22 @@ class SelfPlayActor:
             )
         search = config.search
         if search.node_budget is None:
-            # carried subtree (< num_sims nodes) + one move's simulations;
-            # quad-rollout moves search up to 4x num_sims
             import dataclasses
 
             per_move = search.num_sims * (
                 4 if config.quad_rollout_plies > 0 else 1
             )
-            budget = per_move + 2 + (per_move if config.tree_reuse else 0)
+            if search.recycle:
+                # recycling serves any sim budget from a bounded pool:
+                # size it to the VMEM kernel tier (the whole point — deep
+                # searches at fused-kernel speed), unless the search is
+                # small enough to fit outright
+                budget = min(RECYCLE_POOL, per_move * 2 + 2)
+                budget = max(budget, 4 * search.wave_size)
+            else:
+                # carried subtree (< num_sims nodes) + one move's
+                # simulations; quad-rollout moves search up to 4x num_sims
+                budget = per_move + 2 + (per_move if config.tree_reuse else 0)
             search = dataclasses.replace(search, node_budget=budget)
         self._per_move_sims = search.num_sims * (
             4 if config.quad_rollout_plies > 0 else 1
@@ -335,12 +347,14 @@ class SelfPlayActor:
             if cfg.tree_reuse:
                 # carry each game's played subtree into the next search
                 tree = self._reroot_batch(tree, actions, states)
-                # a carried subtree that nearly fills the pool would starve
-                # the next search (a full pool backs up into n0 only,
-                # leaving root_n empty and select_moves blind) — blank
-                # those trees instead of carrying them
-                room = self.search_config.max_nodes - self._per_move_sims
-                tree_stale |= np.asarray(tree.next_free) > room
+                if not self.search_config.recycle:
+                    # a carried subtree that nearly fills the pool would
+                    # starve the next search (a full pool backs up into n0
+                    # only, leaving root_n empty and select_moves blind) —
+                    # blank those trees instead of carrying them.  With
+                    # recycling the search evicts its own headroom.
+                    room = self.search_config.max_nodes - self._per_move_sims
+                    tree_stale |= np.asarray(tree.next_free) > room
             new_plies = np.asarray(states.ply)
 
             reset_mask = np.zeros(B, bool)

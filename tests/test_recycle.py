@@ -163,6 +163,108 @@ def test_recycle_matches_full_pool_when_pool_big_enough():
                                np.asarray(t_off.root_w))
 
 
+def varied_eval(engine):
+    """Deterministic fake network with non-uniform, state-dependent priors."""
+    A = engine.num_actions
+
+    def eval_fn(params, states):
+        feat = (
+            states.ply.astype(jnp.float32)
+            + jnp.sum(states.heights, -1).astype(jnp.float32) * 1.7
+            + states.to_move.astype(jnp.float32) * 0.3
+        )
+        logits = jnp.sin(
+            feat[:, None] * 0.7
+            + jnp.arange(A, dtype=jnp.float32)[None, :] * 0.31
+        )
+        value = jnp.tanh(jnp.sin(feat * 1.3) * 0.5)
+        return jax.nn.softmax(logits, -1), value
+
+    return eval_fn
+
+
+def run_backend(backend, n, moves, num_sims, wave_size, budget, k=32,
+                batch=2):
+    engine = get_engine(n)
+    cfg = SearchConfig(
+        num_sims=num_sims, wave_size=wave_size, max_children=k,
+        node_budget=budget, recycle=True, backend=backend,
+    )
+    mcts = MCTS(engine, varied_eval(engine), cfg)
+    g = Game.from_ptn_moves(n, moves)
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), g.state
+    )
+    tree = mcts.init_batch(states)
+    tree = mcts.prepare_root(None, tree)
+    tree = mcts.run_sims(None, tree)
+    return tree
+
+
+def test_pallas_recycle_wave1_bitwise_vs_xla():
+    """V=1: the kernel's sequential eviction order coincides with the
+    XLA path's, so recycled trees must match bitwise (interpret mode)."""
+    args = dict(n=3, moves=["a3", "c3", "c2"], num_sims=96, wave_size=1,
+                budget=24)
+    t_x = run_backend("xla", **args)
+    t_p = run_backend("pallas", **args)
+    for name in (
+        "n0", "virt0", "next_free", "root_n", "root_virt", "root_child",
+        "parent", "parent_slot", "parent_action", "expanded",
+        "edge_action", "edge_child", "edge_n", "edge_virt", "result",
+        "node_n", "node_virt", "child_count",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(t_x, name)), np.asarray(getattr(t_p, name)),
+            err_msg=name,
+        )
+    np.testing.assert_allclose(np.asarray(t_x.root_w),
+                               np.asarray(t_p.root_w), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(t_x.edge_w),
+                               np.asarray(t_p.edge_w), rtol=0, atol=0)
+
+
+def test_pallas_recycle_invariants():
+    """Kernel-tier recycled search (interpret mode) holds the same
+    structural invariants as the XLA path."""
+    tree = run_backend("pallas", 3, ["a3", "c3"], num_sims=128, wave_size=4,
+                       budget=40)
+    assert int(tree.next_free[0]) == 40
+    for game in range(2):
+        check_invariants(tree, 128, game)
+
+
+def test_selfplay_with_recycle_and_reuse(monkeypatch):
+    """Self-play end-to-end with a recycled pool smaller than the sim
+    budget, tree reuse on, and the per-move legality audit enabled."""
+    from tak_tpu.selfplay import SelfPlayActor, SelfPlayConfig
+
+    monkeypatch.setenv("TAK_DEBUG_LEGAL", "1")
+    engine = get_engine(3)
+    cfg = SelfPlayConfig(
+        games=2, workers=2, komi=0, max_plies=40,
+        search=SearchConfig(num_sims=64, wave_size=8, max_children=16,
+                            node_budget=48, recycle=True, backend="xla"),
+    )
+    actor = SelfPlayActor(engine, dummy_eval(engine), cfg)
+    examples = actor.run(None, seed=5, log=lambda *_: None)
+    assert len(examples) > 0
+    assert all(ex.result in (-1.0, 0.0, 1.0) for ex in examples)
+
+
+def test_selfplay_recycle_default_budget():
+    from tak_tpu.selfplay import RECYCLE_POOL, SelfPlayActor, SelfPlayConfig
+
+    engine = get_engine(3)
+    cfg = SelfPlayConfig(
+        games=1, workers=1,
+        search=SearchConfig(num_sims=10_000, wave_size=8, recycle=True,
+                            backend="xla"),
+    )
+    actor = SelfPlayActor(engine, dummy_eval(engine), cfg)
+    assert actor.search_config.node_budget == RECYCLE_POOL
+
+
 def test_recycle_quality_near_full_pool():
     """Root visit distributions with a 1/4-size pool stay close to the
     unbounded search (uniform dummy net, mid-game position)."""

@@ -6,7 +6,8 @@ capture + tree re-rooting — on the chip, reporting sims/s and moves/s.
     PYTHONPATH=/root/.axon_site JAX_PLATFORMS=axon python tools/profile_selfplay.py
 
 Knobs: SP_WORKERS (default 32, reference self_play.rs:94), SP_SIMS
-(default 10000, self_play.rs:12), SP_MOVES (default 6), SP_WAVE, SP_K.
+(default 10000, self_play.rs:12), SP_MOVES (default 6), SP_WAVE, SP_K,
+SP_RECYCLE=1 (node-recycled VMEM-tier pool), SP_BUDGET (pool override).
 """
 
 import os
@@ -33,6 +34,8 @@ SIMS = int(os.environ.get("SP_SIMS", 10000))
 MOVES = int(os.environ.get("SP_MOVES", 6))
 WAVE = int(os.environ.get("SP_WAVE", 16))
 K = int(os.environ.get("SP_K", 128))
+RECYCLE = os.environ.get("SP_RECYCLE", "0") == "1"
+BUDGET = int(os.environ.get("SP_BUDGET", 0)) or None
 
 engine = get_engine(N)
 net = Network(engine)
@@ -40,7 +43,8 @@ variables = net.init_variables(0)
 cfg = SelfPlayConfig(
     games=10_000_000,  # never finishes; we stop by move count
     workers=WORKERS,
-    search=SearchConfig(num_sims=SIMS, wave_size=WAVE, max_children=K),
+    search=SearchConfig(num_sims=SIMS, wave_size=WAVE, max_children=K,
+                        recycle=RECYCLE, node_budget=BUDGET),
 )
 actor = SelfPlayActor(engine, lambda p, s: net.policy_eval_states(p, s), cfg)
 print(f"workers={WORKERS} sims={SIMS} wave={WAVE} k={K} "
