@@ -106,28 +106,46 @@ def _c_puct(n, base, init):
 _INT_INF = 2**30  # python int: jnp constants would be captured as tracers
 
 
-def _evict_alloc(want, nf, cur, *, M, Mr, K, aidx,
-                 node_n, node_virt, child_count, expanded,
-                 parent, parent_slot, parent_action,
-                 edge_child, root_child):
-    """Node-slot allocation with recycling: a fresh slot while the pool
-    has room, else evict the coldest eviction candidate (childless,
-    unpinned, non-root, != `cur`) — min node_n, ties toward the LOWEST
-    index (matches MCTS._pick_victims' top_k tie-break).  Eviction
-    detaches the victim from its parent (edge or dense root tier) but
-    keeps the parent edge's statistics: selection still sees the
-    aggregate, the subtree re-materializes on demand.  Returns
-    (slot, ok, new_nf); refs mutate only when evicting."""
-    fresh = nf < M
+def _victim_pair(*, M, Mr, node_n, node_virt, child_count):
+    """Two coldest eviction candidates (childless, unpinned, non-root):
+    min node_n, ties toward the LOWEST index (matches
+    MCTS._pick_victims' top_k tie-break).  Computed ONCE per descent —
+    at most one create happens per descent, and nothing that affects
+    candidacy mutates between the descent's start and its create (only
+    edge virtual-loss marks do) — so the pair stays valid; the second
+    candidate covers the case where the first is the create's parent."""
     flat = _flat_iota(Mr, LANES)
     cand = (
         (child_count[...] == 0) & (node_virt[...] == 0)
-        & (flat > 0) & (flat < M) & (flat != cur)
+        & (flat > 0) & (flat < M)
     )
     score = jnp.where(cand, node_n[...], _INT_INF)
-    m = jnp.min(score)
-    victim = jnp.min(jnp.where(score == m, flat, _INT_INF))
-    have = m < _INT_INF
+    m1 = jnp.min(score)
+    v1 = jnp.min(jnp.where(score == m1, flat, _INT_INF))
+    have1 = m1 < _INT_INF
+    score2 = jnp.where(flat == v1, _INT_INF, score)
+    m2 = jnp.min(score2)
+    v2 = jnp.min(jnp.where(score2 == m2, flat, _INT_INF))
+    have2 = m2 < _INT_INF
+    return v1, have1, v2, have2
+
+
+def _evict_alloc(want, nf, cur, pair, *, M, K, aidx,
+                 node_n, child_count, expanded,
+                 parent, parent_slot, parent_action,
+                 edge_child, root_child):
+    """Node-slot allocation with recycling: a fresh slot while the pool
+    has room, else evict the coldest candidate from `pair` (skipping
+    `cur`, the node being attached to).  Eviction detaches the victim
+    from its parent (edge or dense root tier) but keeps the parent
+    edge's statistics: selection still sees the aggregate, the subtree
+    re-materializes on demand.  Returns (slot, ok, new_nf); refs mutate
+    only when evicting."""
+    v1, have1, v2, have2 = pair
+    fresh = nf < M
+    use2 = v1 == cur
+    victim = jnp.where(use2, v2, v1)
+    have = jnp.where(use2, have2, have1)
 
     @pl.when(want & ~fresh & have)
     def _():
@@ -228,21 +246,33 @@ def _descend_kernel(
     kidx = _lane_iota((1, K))
     vidx = _lane_iota((1, V))
 
-    def alloc(want, nf, cur):
-        if recycle:
+    def make_alloc():
+        if not recycle:
+            def alloc(want, nf, cur):
+                ok = want & (nf < M)
+                return nf, ok, nf + jnp.where(ok, 1, 0)
+
+            return alloc
+        pair = _victim_pair(
+            M=M, Mr=Mr, node_n=node_n_out, node_virt=node_virt_out,
+            child_count=child_count_out,
+        )
+
+        def alloc(want, nf, cur):
             return _evict_alloc(
-                want, nf, cur, M=M, Mr=Mr, K=K, aidx=aidx,
-                node_n=node_n_out, node_virt=node_virt_out,
+                want, nf, cur, pair, M=M, K=K, aidx=aidx,
+                node_n=node_n_out,
                 child_count=child_count_out, expanded=expanded_out,
                 parent=parent_out, parent_slot=parent_slot_out,
                 parent_action=parent_action_out,
                 edge_child=edge_child_out, root_child=root_child_out,
             )
-        ok = want & (nf < M)
-        return nf, ok, nf + jnp.where(ok, 1, 0)
+
+        return alloc
 
     def one_descent(v, carry):
         virt0, next_free = carry
+        alloc = make_alloc()  # victim pair scored once per descent
 
         # ---- root selection: dense PUCT over the full action space ----
         rv = root_virt_out[...]
@@ -499,9 +529,6 @@ def _expand_backup_kernel(
 
         def wbody(c):
             cur, sign, n0, virt0 = c
-            if recycle:
-                _write_flat(node_n_out, cur,
-                            _read_flat(node_n_out, cur) + 1)
             p = _read_flat(parent_ref, cur)
             s = _read_flat(parent_slot_ref, cur)
             a = _read_flat(parent_action_ref, cur)
@@ -819,9 +846,6 @@ def _backup_descend_kernel(
 
         def wbody(c):
             cur, sign, n0, virt0 = c
-            if recycle:
-                _write_flat(node_n_out, cur,
-                            _read_flat(node_n_out, cur) + 1)
             p = _read_flat(parent_out, cur)
             s = _read_flat(parent_slot_out, cur)
             a = _read_flat(parent_action_out, cur)
@@ -878,21 +902,33 @@ def _backup_descend_kernel(
     virt0 = scal_out[0, 1]
 
     # ---- phase 2: this wave's V sequential virtual-loss descents ---------
-    def alloc(want, nf, cur):
-        if recycle:
+    def make_alloc():
+        if not recycle:
+            def alloc(want, nf, cur):
+                ok = want & (nf < M)
+                return nf, ok, nf + jnp.where(ok, 1, 0)
+
+            return alloc
+        pair = _victim_pair(
+            M=M, Mr=Mr, node_n=node_n_out, node_virt=node_virt_out,
+            child_count=child_count_out,
+        )
+
+        def alloc(want, nf, cur):
             return _evict_alloc(
-                want, nf, cur, M=M, Mr=Mr, K=K, aidx=aidx,
-                node_n=node_n_out, node_virt=node_virt_out,
+                want, nf, cur, pair, M=M, K=K, aidx=aidx,
+                node_n=node_n_out,
                 child_count=child_count_out, expanded=expanded_out,
                 parent=parent_out, parent_slot=parent_slot_out,
                 parent_action=parent_action_out,
                 edge_child=edge_child_out, root_child=root_child_out,
             )
-        ok = want & (nf < M)
-        return nf, ok, nf + jnp.where(ok, 1, 0)
+
+        return alloc
 
     def one_descent(v, carry):
         virt0, next_free = carry
+        alloc = make_alloc()  # victim pair scored once per descent
 
         rv = root_virt_out[...]
         rn = root_n_out[...]

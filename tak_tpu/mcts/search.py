@@ -95,6 +95,16 @@ class SearchConfig:
     # Set node_budget explicitly when enabling.  Not available on the
     # pallas_hbm backend.
     recycle: bool = False
+    # run the wave scan in chunks of ~this many sims per jitted call
+    # (rounded up to whole waves), looping on the persistent tree until
+    # num_sims is reached.  Bit-identical to one long scan (the chunk
+    # boundary's pending-flush is the same op the merged kernel would
+    # run), but compile time no longer grows with num_sims — on this
+    # backend a 625-wave scan program fails to compile inside 15 min
+    # while the 32-wave chunk program compiles once and serves any sim
+    # budget.  Dispatch overhead is hidden by queue pipelining.
+    # None = single scan (default; the bench-size configs).
+    scan_chunk: int | None = None
     # Gumbel root selection (Danihelka et al. 2022, "Policy improvement by
     # planning with Gumbel"): 0 = off (reference PUCT parity).  When > 0,
     # root descents follow a sequential-halving schedule over the top
@@ -385,7 +395,14 @@ class MCTS:
         """Top-k eviction candidates by ascending node_n ([k] ids, [k]
         valid).  Candidates are childless, unpinned, non-root, and not in
         `protect_idx` (node ids; M entries ignored).  Ties break toward
-        the LOWEST node index (matches the kernels' sequential argmin)."""
+        the LOWEST node index (matches the kernels' sequential argmin).
+
+        node_n is the parent-edge visit count SNAPSHOT at materialization
+        (not maintained by backups): a childless non-terminal node can
+        outgrow its snapshot by at most one visit before it gains a child
+        and leaves the candidate set, and re-evicting a hot terminal only
+        costs one env re-step — so the frozen score ranks real candidates
+        the same while keeping backups maintenance-free."""
         M = self.config.max_nodes
         protect = jnp.zeros(M + 1, bool).at[
             jnp.clip(protect_idx, 0, M)
@@ -727,12 +744,6 @@ class MCTS:
                 n0=t.n0 + jnp.sum(at_root),
                 virt0=t.virt0 - jnp.sum(at_root),
             )
-            if rc:
-                t = t.replace(
-                    node_n=t.node_n.at[
-                        jnp.where(alive, ci, M)
-                    ].add(1, mode="drop")
-                )
             cur = jnp.where(alive, p, NONE)
             return (cur, -sign, t)
 
@@ -915,13 +926,26 @@ class MCTS:
 
     @cached_property
     def run_sims(self):
-        """Jitted full search: scan `num_waves` waves over the batch of
-        trees.  On the VMEM pallas tier the scan is software-pipelined:
-        each iteration runs ONE merged backup+descend kernel (the
-        previous wave's expansions/backups fused with this wave's
-        descents), and a trailing expand_backup flushes the last wave —
-        bit-identical results, one tree DMA round per wave instead of
-        two."""
+        """Full search: scan `num_waves` waves over the batch of trees.
+        On the VMEM pallas tier the scan is software-pipelined: each
+        iteration runs ONE merged backup+descend kernel (the previous
+        wave's expansions/backups fused with this wave's descents), and
+        a trailing expand_backup flushes the last wave — bit-identical
+        results, one tree DMA round per wave instead of two.
+
+        With `scan_chunk` set, the jitted program covers only
+        ceil(scan_chunk/wave_size) waves and is called in a host loop on
+        the persistent tree until num_waves is reached (same op
+        sequence; compile time decoupled from num_sims)."""
+        total_waves = self.config.num_waves
+        chunk_waves = total_waves
+        if self.config.scan_chunk:
+            chunk_waves = min(
+                total_waves,
+                -(-self.config.scan_chunk // self.config.wave_size),
+            )
+        n_chunks = -(-total_waves // chunk_waves)
+
         if self._backup_descend is not None:
             V = self.config.wave_size
             K = self.config.max_children
@@ -948,11 +972,19 @@ class MCTS:
 
                 (tree_b, pending), _ = jax.lax.scan(
                     wave_step, (tree_b, zero_pending), None,
-                    length=self.config.num_waves,
+                    length=chunk_waves,
                 )
                 return self._expand_backup(tree_b, *pending[:-1])
 
-            return run_pipelined
+            if n_chunks == 1:
+                return run_pipelined
+
+            def run_chunked(params, tree_b: Tree):
+                for _ in range(n_chunks):
+                    tree_b = run_pipelined(params, tree_b)
+                return tree_b
+
+            return run_chunked
 
         @jax.jit
         def run(params, tree_b: Tree):
@@ -960,11 +992,19 @@ class MCTS:
                 return self._wave(params, tree_b), None
 
             tree_b, _ = jax.lax.scan(
-                wave_step, tree_b, None, length=self.config.num_waves
+                wave_step, tree_b, None, length=chunk_waves
             )
             return tree_b
 
-        return run
+        if n_chunks == 1:
+            return run
+
+        def run_chunked_xla(params, tree_b: Tree):
+            for _ in range(n_chunks):
+                tree_b = run(params, tree_b)
+            return tree_b
+
+        return run_chunked_xla
 
     @cached_property
     def run_sims_gumbel(self):

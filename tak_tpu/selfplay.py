@@ -94,6 +94,10 @@ class SelfPlayActor:
                 # small enough to fit outright
                 budget = min(RECYCLE_POOL, per_move * 2 + 2)
                 budget = max(budget, 4 * search.wave_size)
+                if search.scan_chunk is None and search.num_sims > 1024:
+                    # deep searches: chunk the wave scan so compile time
+                    # does not grow with the sim budget
+                    search = dataclasses.replace(search, scan_chunk=512)
             else:
                 # carried subtree (< num_sims nodes) + one move's
                 # simulations; quad-rollout moves search up to 4x num_sims

@@ -80,6 +80,9 @@ def check_invariants(tree, num_sims, g=0):
     node_n = np.asarray(tree.node_n[g])
     root_child = np.asarray(tree.root_child[g])
 
+    # node_n is the parent-edge visit snapshot at materialization: it
+    # never exceeds the live edge count, and a childless non-terminal
+    # can outgrow it by at most one visit
     counts = np.zeros(M, np.int64)
     attached = np.zeros(M, bool)
     attached[0] = True
@@ -89,7 +92,7 @@ def check_invariants(tree, num_sims, g=0):
             attached[c] = True
             assert parent[c] == 0 and parent_slot[c] == NONE
             assert parent_action[c] == a
-            assert node_n[c] == root_n[a]
+            assert 0 <= node_n[c] <= root_n[a]
     for i in range(M):
         if not expanded[i]:
             continue
@@ -98,7 +101,7 @@ def check_invariants(tree, num_sims, g=0):
                 counts[i] += 1
                 attached[c] = True
                 assert parent[c] == i and parent_slot[c] == s
-                assert node_n[c] == edge_n[i, s]
+                assert 0 <= node_n[c] <= edge_n[i, s]
     np.testing.assert_array_equal(child_count[attached], counts[attached])
 
 
