@@ -65,29 +65,57 @@ def blank_trees(tree: Tree, states, mask) -> Tree:
     )
 
 
-def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tree:
-    """Single-game re-root of `tree` onto root action `action`.
+def _reach_doubling(tree: Tree, c0i, has_subtree):
+    """Slots holding nodes in c0i's subtree, via parent-pointer doubling.
 
-    `new_root_state` is the played position (unbatched GameState); it is
-    written to node 0 unconditionally, so if the action's child was never
-    materialized the result degrades to a fresh tree at that position.
-    `prepare_root` must still run afterwards (it re-evaluates the
-    full-width root prior; the kept edges only stored K of them).
-    """
+    ceil(log2(M)) fixed iterations instead of one iteration per tree
+    LEVEL (the children-closure while_loop, kept below as
+    `_reach_closure_reference` for the differential test): at 10k-sim
+    depths the level-by-level walk costs hundreds of ms per reroot.
+
+    Parent pointers of LIVE slots are always valid: eviction
+    (search.py `_evict`) only picks childless victims, so a live node's
+    parent — which has at least that child — can never have been
+    evicted from under it.  Dead slots (evicted, not yet reused) keep a
+    stale parent pointer, so ancestry alone over-approximates; they are
+    masked off with a backlink check — a slot is live iff its parent's
+    edge row (or the dense root tier) still points back at it, through
+    an EXPANDED parent (recycled slots keep stale edge rows until the
+    next expansion rewrites them)."""
     M = tree.result.shape[0]
-    A = tree.root_prior.shape[0]
-    K = max_children
+    idx = jnp.arange(M, dtype=jnp.int32)
 
-    c0 = tree.root_child[action]
-    has_subtree = c0 != NONE
-    c0i = jnp.maximum(c0, 0)
+    # liveness: parent edge (or root tier) points back at the slot
+    p = tree.parent
+    pc = jnp.maximum(p, 0)
+    s = tree.parent_slot
+    a = tree.parent_action
+    root_link = (p == 0) & (s == NONE) & (
+        tree.root_child[jnp.clip(a, 0, tree.root_child.shape[0] - 1)] == idx
+    )
+    edge_link = (
+        (s != NONE)
+        & tree.expanded[pc]
+        & (tree.edge_child[pc, jnp.maximum(s, 0)] == idx)
+    )
+    live = (p != NONE) & (root_link | edge_link)
 
-    # --- reachability from c0 (children closure, <= M doubling steps) ---
+    # ancestor-or-self chains via pointer doubling
+    hit = (idx == c0i) & has_subtree
+    jumpv = p
+    for _ in range(max(1, (M - 1).bit_length())):
+        jvalid = jumpv != NONE
+        j = jnp.maximum(jumpv, 0)
+        hit = hit | (jvalid & hit[j])
+        jumpv = jnp.where(jvalid, jumpv[j], NONE)
+    return hit & live
+
+
+def _reach_closure_reference(tree: Tree, c0i, has_subtree):
+    """Original level-by-level children closure (differential oracle for
+    `_reach_doubling`; no longer on the reroot path)."""
+    M = tree.result.shape[0]
     reach = jnp.zeros(M, bool).at[c0i].set(has_subtree)
-    # each iteration pushes reachability one level deeper; tree depth is
-    # bounded by the number of plies simulated, itself < M; use log-free
-    # fixed M iterations? depth <= M but practically small: iterate until
-    # fixpoint via while_loop on change.
 
     def cond(carry):
         reach, changed = carry
@@ -106,6 +134,26 @@ def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tre
         return new, jnp.any(new != reach)
 
     reach, _ = jax.lax.while_loop(cond, body, (reach, has_subtree))
+    return reach
+
+
+def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tree:
+    """Single-game re-root of `tree` onto root action `action`.
+
+    `new_root_state` is the played position (unbatched GameState); it is
+    written to node 0 unconditionally, so if the action's child was never
+    materialized the result degrades to a fresh tree at that position.
+    `prepare_root` must still run afterwards (it re-evaluates the
+    full-width root prior; the kept edges only stored K of them).
+    """
+    M = tree.result.shape[0]
+    A = tree.root_prior.shape[0]
+    K = max_children
+
+    c0 = tree.root_child[action]
+    has_subtree = c0 != NONE
+    c0i = jnp.maximum(c0, 0)
+    reach = _reach_doubling(tree, c0i, has_subtree)
 
     # --- compaction permutation: new_id = rank among reachable ----------
     ranks = jnp.cumsum(reach.astype(jnp.int32)) - 1

@@ -45,6 +45,13 @@ class PitConfig:
     random_plies: int = 2        # RANDOM_PLIES (pit.rs:9)
     max_plies: int = 400
     tree_reuse: bool = True      # carry subtrees across plies (pit.rs:66-92)
+    # Search config for the `old` side (defaults to `search`).  Setting it
+    # pits two SEARCH configurations against each other (same or different
+    # nets) — the strength guardrail for search changes (node recycling,
+    # wave size) whose root-policy TV is meaningless at deep sim budgets
+    # (visit distributions are chaotic under any perturbation there; see
+    # tools/quality_control.py).
+    search_b: SearchConfig | None = None
 
 
 @dataclass
@@ -92,15 +99,25 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
     import dataclasses
 
     cfg = config or PitConfig()
-    search_cfg = cfg.search
-    per_move = search_cfg.num_waves * search_cfg.wave_size
-    if cfg.tree_reuse and search_cfg.node_budget is None:
-        # carried subtree (< per_move nodes) + one move's simulations
-        search_cfg = dataclasses.replace(
-            search_cfg, node_budget=2 * per_move + 2
-        )
+
+    def _fill_budget(sc: SearchConfig) -> SearchConfig:
+        if cfg.tree_reuse and sc.node_budget is None and not sc.recycle:
+            # carried subtree (< per_move nodes) + one move's simulations;
+            # recycling searches evict their own headroom instead
+            per_move = sc.num_waves * sc.wave_size
+            sc = dataclasses.replace(sc, node_budget=2 * per_move + 2)
+        return sc
+
+    search_cfg = _fill_budget(cfg.search)
+    search_cfg_b = (
+        _fill_budget(cfg.search_b) if cfg.search_b is not None else search_cfg
+    )
     rng = np.random.default_rng(seed)
-    mcts = MCTS(engine, eval_fn, search_cfg)
+    mcts_a = MCTS(engine, eval_fn, search_cfg)
+    mcts_b = (
+        mcts_a if cfg.search_b is None else MCTS(engine, eval_fn, search_cfg_b)
+    )
+    mcts_of = (mcts_a, mcts_b)  # by net_id: new -> a, old -> b
     jrng = jax.random.PRNGKey(seed)
     if stats is not None:
         stats.setdefault("carried_n0", 0)
@@ -130,14 +147,21 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
     if cfg.tree_reuse:
         from .mcts.reuse import blank_trees, reroot
 
-        k = search_cfg.max_children
-        reroot_batch = jax.jit(jax.vmap(
-            lambda t, a, s: reroot(engine, t, a, s, k)
-        ))
+        def _reuse_ops(sc: SearchConfig):
+            k = sc.max_children
+            reroot_batch = jax.jit(jax.vmap(
+                lambda t, a, s: reroot(engine, t, a, s, k)
+            ))
+            room = sc.max_nodes - sc.num_waves * sc.wave_size
+            return reroot_batch, room, sc.recycle
+
+        ops_a = _reuse_ops(search_cfg)
+        reuse_ops = (ops_a, ops_a if cfg.search_b is None
+                     else _reuse_ops(search_cfg_b))
         blank = jax.jit(blank_trees)
-        room = search_cfg.max_nodes - per_move
 
     def search_half(net_id, params, half, half_states, key):
+        mcts = mcts_of[net_id]
         tree = trees.get((net_id, half))
         if tree is None:
             tree = mcts.init_batch(half_states)
@@ -183,10 +207,13 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
             )
             half_actions = (jnp.asarray(acts_a), jnp.asarray(acts_b))
             for (net_id, half), tree in list(trees.items()):
+                reroot_batch, room, recycles = reuse_ops[net_id]
                 t = reroot_batch(tree, half_actions[half], halves[half])
-                stale = np.asarray(t.next_free) > room
-                if stale.any():
-                    t = blank(t, halves[half], jnp.asarray(stale))
+                if not recycles:
+                    # recycling searches evict their own headroom
+                    stale = np.asarray(t.next_free) > room
+                    if stale.any():
+                        t = blank(t, halves[half], jnp.asarray(stale))
                 trees[(net_id, half)] = t
 
         results = np.asarray(states.result)

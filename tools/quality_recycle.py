@@ -52,6 +52,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sims", type=int, default=10_000)
     ap.add_argument("--wave", type=int, default=16)
+    ap.add_argument("--cand-wave", type=int, default=None,
+                    help="candidate wave size (default: same as --wave)")
     ap.add_argument("--games", type=int, default=8)
     ap.add_argument("--plies", type=int, default=24)
     ap.add_argument("--size", type=int, default=6)
@@ -88,16 +90,17 @@ def main():
         k=args.ref_k, budget=args.sims * 2 + 2, recycle=False,
         backend=args.ref_backend,
     )
+    cand_wave = args.cand_wave or args.wave
     p_rec = root_policies(
-        engine, net, variables, states, args.sims, args.wave,
+        engine, net, variables, states, args.sims, cand_wave,
         k=args.k, budget=args.budget, recycle=True, backend="pallas",
         chunk=512,
     )
     tv = 0.5 * np.abs(p_ref - p_rec).sum(-1)
     top1 = np.mean(p_ref.argmax(-1) == p_rec.argmax(-1))
-    print(f"recycled pool {args.budget} K={args.k} vs "
-          f"{args.ref_backend} K={args.ref_k} @ {args.sims} sims, "
-          f"wave {args.wave}, {args.games} positions (ply {args.plies}):")
+    print(f"recycled pool {args.budget} K={args.k} wave {cand_wave} vs "
+          f"{args.ref_backend} K={args.ref_k} wave {args.wave} @ "
+          f"{args.sims} sims, {args.games} positions (ply {args.plies}):")
     print(f"  TV distance: mean {tv.mean():.4f}  max {tv.max():.4f}")
     print(f"  top-1 agreement: {top1:.3f}")
 
