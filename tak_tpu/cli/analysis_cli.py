@@ -54,6 +54,10 @@ def _setup(args):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from ..utils.device import setup_performance_defaults
+
+    setup_performance_defaults()
+
     from ..engine.core import get_engine
     from ..model.network import Network
 

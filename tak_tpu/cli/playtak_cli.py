@@ -41,6 +41,10 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from ..utils.device import setup_performance_defaults
+
+    setup_performance_defaults()
+
     from ..engine.core import get_engine
     from ..model.network import Network
     from ..playtak.bot import BotConfig, PlaytakBot

@@ -71,6 +71,10 @@ def main(argv=None):
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    from ..utils.device import setup_performance_defaults
+
+    setup_performance_defaults()
     if args.distributed:
         jax.distributed.initialize()
 

@@ -584,7 +584,7 @@ class Engine:
 
     @property
     def fused_kernels_supported(self) -> bool:
-        return self.words <= 2  # sizes 3-6
+        return self.words <= 4  # sizes 3-8 (7/8 use 3/4 word planes)
 
     def fused_step_fn(self, *, block_g: int = 256, interpret: bool = False):
         """One-kernel (states, actions[, enabled]) -> states step+result.

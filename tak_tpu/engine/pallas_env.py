@@ -167,14 +167,29 @@ def _select_table_u32(idx, table_col):
     return out
 
 
-def _top_color(s0, s1, heights):
+def _nwords(engine) -> int:
+    """Word planes carried through the kernels (>= 2 keeps the n<=6
+    layouts bit-identical to the original two-plane kernels; sizes 7/8
+    need 3/4 planes for their taller stacks)."""
+    return max(2, engine.words)
+
+
+def _select_word(sw, j):
+    """sw[j] element-wise for a word-index array j ([..., G] i32)."""
+    w = sw[0]
+    for i in range(1, len(sw)):
+        w = jnp.where(j == i, sw[i], w)
+    return w
+
+
+def _top_color(sw, heights):
     """Color bit of the top piece (garbage where empty)."""
     h1 = jnp.maximum(heights - 1, 0)
-    w = jnp.where(h1 < 32, s0, s1)
+    w = _select_word(sw, h1 >> 5)
     return ((w >> (h1 & 31).astype(_U32)) & _U32(1)).astype(_I32)
 
 
-def _legal_bits(n, tables, s0, s1, heights, tops, scal):
+def _legal_bits(n, tables, sw, heights, tops, scal):
     """Packed legal-move bits.
 
     Returns (place_bits [n2, G] u32 with bits 0/1/2 = flat/wall/cap,
@@ -183,7 +198,7 @@ def _legal_bits(n, tables, s0, s1, heights, tops, scal):
     """
     wp, kmask, smask, smashm = tables
     n2 = n * n
-    G = s0.shape[1]
+    G = sw[0].shape[1]
 
     to_move = scal[SC_TO_MOVE:SC_TO_MOVE + 1]
     ply = scal[SC_PLY:SC_PLY + 1]
@@ -207,7 +222,7 @@ def _legal_bits(n, tables, s0, s1, heights, tops, scal):
     place |= (empty & have_stones & ~opening).astype(_U32) << 1      # wall
     place |= (empty & have_caps & ~opening).astype(_U32) << 2       # cap
 
-    owner = _top_color(s0, s1, heights)
+    owner = _top_color(sw, heights)
     own = (heights > 0) & (owner == to_move) & ~opening
 
     # NB: int chains, not bool — Mosaic cannot lower selects of i1 vectors
@@ -356,15 +371,16 @@ def _select_pos_from_top(mask, t, n):
     return pos
 
 
-def _step_core(n, s0, s1, heights, tops, scal, action):
+def _step_core(n, sw, heights, tops, scal, action):
     """One step, [n2, G] layout, mirroring Engine.step exactly.
 
     action [1, G] i32 (assumed legal).  Returns new
-    (s0, s1, heights, tops, scal-without-result-update).
+    (sw, heights, tops, scal-without-result-update).
     """
+    W = len(sw)
     P = num_patterns(n)
     n2 = n * n
-    G = s0.shape[1]
+    G = sw[0].shape[1]
     qi = _row_iota(n2, G)
 
     ch = action // n2
@@ -379,8 +395,7 @@ def _step_core(n, s0, s1, heights, tops, scal, action):
 
     orig_top = jnp.sum(jnp.where(is_origin, tops, 0), 0, keepdims=True)
     h = jnp.sum(jnp.where(is_origin, heights, 0), 0, keepdims=True)
-    s0_sq = _sum_u32(jnp.where(is_origin, s0, _U32(0)))
-    s1_sq = _sum_u32(jnp.where(is_origin, s1, _U32(0)))
+    sw_sq = [_sum_u32(jnp.where(is_origin, s, _U32(0))) for s in sw]
 
     # ---- spread decode ----
     dp = jnp.maximum(ch - 3, 0)
@@ -396,8 +411,9 @@ def _step_core(n, s0, s1, heights, tops, scal, action):
     joff = jnp.maximum(lo, 0) >> 5
     off_i = jnp.maximum(lo, 0) & 31
     off = off_i.astype(_U32)
-    w0c = jnp.where(joff == 0, s0_sq, s1_sq)
-    w1c = jnp.where(joff == 0, s1_sq, _U32(0))
+    # the <=8-bit carry window spans at most two ADJACENT words
+    w0c = _select_word(sw_sq, joff)
+    w1c = _select_word(sw_sq[1:] + [jnp.zeros_like(sw_sq[0])], joff)
     hi_part = jnp.where(
         off == 0, _U32(0),
         w1c << jnp.minimum(32 - off_i, 31).astype(_U32),
@@ -445,8 +461,12 @@ def _step_core(n, s0, s1, heights, tops, scal, action):
         offi == 0, _U32(0),
         ins_bits >> jnp.minimum(32 - offi_i, 31).astype(_U32),
     )
-    add0 = jnp.where(jw == 0, w0, _U32(0))
-    add1 = jnp.where(jw == 1, w0, _U32(0)) | jnp.where(jw == 0, w1, _U32(0))
+    adds = []
+    for j in range(W):
+        a = jnp.where(jw == j, w0, _U32(0))
+        if j >= 1:
+            a = a | jnp.where(jw == j - 1, w1, _U32(0))
+        adds.append(a)
 
     # clear the carried window at the spread origin
     cj = jnp.maximum(lo, 0) >> 5
@@ -459,13 +479,14 @@ def _step_core(n, s0, s1, heights, tops, scal, action):
         cmask >> jnp.minimum(32 - coff_i, 31).astype(_U32),
     )
     clr_on = (~is_place) & is_origin
-    clear0 = jnp.where(clr_on & (cj == 0), cm0, _U32(0))
-    clear1 = jnp.where(clr_on & (cj == 1), cm0, _U32(0)) | jnp.where(
-        clr_on & (cj == 0), cm1, _U32(0)
-    )
+    clears = []
+    for j in range(W):
+        c = jnp.where(clr_on & (cj == j), cm0, _U32(0))
+        if j >= 1:
+            c = c | jnp.where(clr_on & (cj == j - 1), cm1, _U32(0))
+        clears.append(c)
 
-    new_s0 = (s0 & ~clear0) | add0
-    new_s1 = (s1 & ~clear1) | add1
+    new_sw = [(s & ~c) | a for s, c, a in zip(sw, clears, adds)]
     new_heights = jnp.where(
         is_origin,
         jnp.where(is_place, 1, jnp.broadcast_to(lo, heights.shape)),
@@ -493,15 +514,15 @@ def _step_core(n, s0, s1, heights, tops, scal, action):
     new_scal = jnp.where(
         sci == SC_REV, jnp.broadcast_to(rev_new, scal.shape), new_scal
     )
-    return new_s0, new_s1, new_heights, new_tops, new_scal
+    return new_sw, new_heights, new_tops, new_scal
 
 
-def _roads(n, s0, s1, heights, tops):
+def _roads(n, sw, heights, tops):
     """(white_road, black_road) [1, G] bool — bitboard flood fill, four
     planes stacked on sublanes (Engine.roads semantics)."""
     n2 = n * n
-    G = s0.shape[1]
-    owner = _top_color(s0, s1, heights)
+    G = sw[0].shape[1]
+    owner = _top_color(sw, heights)
     roady = (heights > 0) & ((tops == FLAT) | (tops == CAP))
 
     qi = _row_iota(n2, G)
@@ -575,11 +596,11 @@ def _trunc_div2(x):
     return jnp.where(x >= 0, x // 2, -((-x) // 2))
 
 
-def _compute_result(n, s0, s1, heights, tops, scal):
+def _compute_result(n, sw, heights, tops, scal):
     """Result code [1, G] i32 (Engine.compute_result parity)."""
     to_move = scal[SC_TO_MOVE:SC_TO_MOVE + 1]
     just_moved = 1 - to_move
-    white_road, black_road = _roads(n, s0, s1, heights, tops)  # i32 0/1
+    white_road, black_road = _roads(n, sw, heights, tops)  # i32 0/1
     road_jm = jnp.where(just_moved == 0, white_road, black_road)
     road_om = jnp.where(just_moved == 0, black_road, white_road)
     road_code = jnp.where(
@@ -601,7 +622,7 @@ def _compute_result(n, s0, s1, heights, tops, scal):
     out_of_reserves = out_w | out_b
     board_full = jnp.min(heights, 0, keepdims=True) > 0
 
-    owner = _top_color(s0, s1, heights)
+    owner = _top_color(sw, heights)
     is_flat = tops == FLAT
     fd = jnp.sum(jnp.where(is_flat, 1 - 2 * owner, 0), 0, keepdims=True)
     half_komi = scal[SC_KOMI:SC_KOMI + 1]
@@ -632,14 +653,12 @@ def _compute_result(n, s0, s1, heights, tops, scal):
 # Host-side packing between GameState (batch-first) and kernel layout
 # ---------------------------------------------------------------------------
 
-def _pack_states(states: GameState):
-    """GameState [B, ...] -> (s0 [n2, B], s1, heights, tops, scal [SC, B])."""
-    s0 = states.stacks[:, :, 0].T
-    s1 = (
-        states.stacks[:, :, 1].T
-        if states.stacks.shape[-1] > 1
-        else jnp.zeros_like(s0)
-    )
+def _pack_states(states: GameState, nw: int):
+    """GameState [B, ...] -> (s_0..s_{nw-1} [n2, B], heights, tops,
+    scal [SC, B]).  Missing word planes (nw > stored words) are zero."""
+    W = states.stacks.shape[-1]
+    zero = jnp.zeros_like(states.stacks[:, :, 0].T)
+    sw = [states.stacks[:, :, j].T if j < W else zero for j in range(nw)]
     scal = jnp.stack(
         [
             states.to_move, states.ply, states.reversible, states.result,
@@ -647,13 +666,12 @@ def _pack_states(states: GameState):
             states.caps[:, 0], states.caps[:, 1],
         ]
     ).astype(_I32)
-    return s0, s1, states.heights.T, states.tops.T, scal
+    return (*sw, states.heights.T, states.tops.T, scal)
 
 
-def _unpack_states(words, s0, s1, heights, tops, scal) -> GameState:
-    stacks = (
-        jnp.stack([s0.T, s1.T], -1) if words > 1 else s0.T[:, :, None]
-    )
+def _unpack_states(words, *cols) -> GameState:
+    sw, (heights, tops, scal) = cols[:-3], cols[-3:]
+    stacks = jnp.stack([s.T for s in sw[:max(words, 1)]], -1)
     return GameState(
         stacks=stacks,
         heights=heights.T,
@@ -676,11 +694,11 @@ def _freeze(cond, old, new):
 # Kernel builders
 # ---------------------------------------------------------------------------
 
-def _state_specs(n2, G):
+def _state_specs(n2, G, nw):
     spec = lambda rows: pl.BlockSpec(
         (rows, G), lambda b: (0, b), memory_space=pltpu.VMEM
     )
-    return [spec(n2), spec(n2), spec(n2), spec(n2), spec(SC_ROWS)]
+    return [spec(n2)] * (nw + 2) + [spec(SC_ROWS)]
 
 
 def build_fused_step(engine, *, block_g: int = 128, interpret: bool = False):
@@ -689,33 +707,35 @@ def build_fused_step(engine, *, block_g: int = 128, interpret: bool = False):
     One kernel for step + result; finished (and disabled) games freeze.
     Drop-in replacement for vmapped Engine.step (engine/core.py step).
     """
-    assert engine.words <= 2, "pallas engine kernels support sizes 3-6"
+    assert engine.words <= 4, "pallas engine kernels support sizes 3-8"
     n, n2 = engine.n, engine.num_squares
+    NW = _nwords(engine)
     G = block_g
 
-    def kernel(s0_r, s1_r, h_r, t_r, sc_r, act_r, en_r,
-               s0_o, s1_o, h_o, t_o, sc_o):
-        s0, s1 = s0_r[...], s1_r[...]
+    def kernel(*refs):
+        sw = [r[...] for r in refs[:NW]]
+        h_r, t_r, sc_r, act_r, en_r = refs[NW:NW + 5]
+        outs = refs[NW + 5:]
         heights, tops, scal = h_r[...], t_r[...], sc_r[...]
         action = act_r[...]
         enabled = en_r[...] != 0
 
-        ns0, ns1, nh, nt, nsc = _step_core(n, s0, s1, heights, tops, scal, action)
-        res = _compute_result(n, ns0, ns1, nh, nt, nsc)
+        nsw, nh, nt, nsc = _step_core(n, sw, heights, tops, scal, action)
+        res = _compute_result(n, nsw, nh, nt, nsc)
         sci = jax.lax.broadcasted_iota(_I32, nsc.shape, 0)
         nsc = jnp.where(sci == SC_RESULT, jnp.broadcast_to(res, nsc.shape), nsc)
 
         done = (scal[SC_RESULT:SC_RESULT + 1] != ONGOING) | ~enabled
-        s0_o[...] = jnp.where(done, s0, ns0)
-        s1_o[...] = jnp.where(done, s1, ns1)
-        h_o[...] = jnp.where(done, heights, nh)
-        t_o[...] = jnp.where(done, tops, nt)
-        sc_o[...] = jnp.where(done, scal, nsc)
+        for j in range(NW):
+            outs[j][...] = jnp.where(done, sw[j], nsw[j])
+        outs[NW][...] = jnp.where(done, heights, nh)
+        outs[NW + 1][...] = jnp.where(done, tops, nt)
+        outs[NW + 2][...] = jnp.where(done, scal, nsc)
 
     def run(states: GameState, actions, enabled=None):
         B = actions.shape[0]
         assert B % G == 0, (B, G)
-        s0, s1, heights, tops, scal = _pack_states(states)
+        packed = _pack_states(states, NW)
         if enabled is None:
             en = jnp.ones((1, B), _I32)
         else:
@@ -725,21 +745,20 @@ def build_fused_step(engine, *, block_g: int = 128, interpret: bool = False):
         rowspec = lambda rows: pl.BlockSpec(
             (rows, G), lambda b: (0, b), memory_space=pltpu.VMEM
         )
-        out_shapes = (
-            jax.ShapeDtypeStruct((n2, B), _U32),
-            jax.ShapeDtypeStruct((n2, B), _U32),
-            jax.ShapeDtypeStruct((n2, B), _I32),
-            jax.ShapeDtypeStruct((n2, B), _I32),
-            jax.ShapeDtypeStruct((SC_ROWS, B), _I32),
+        out_shapes = tuple(
+            [jax.ShapeDtypeStruct((n2, B), _U32)] * NW
+            + [jax.ShapeDtypeStruct((n2, B), _I32),
+               jax.ShapeDtypeStruct((n2, B), _I32),
+               jax.ShapeDtypeStruct((SC_ROWS, B), _I32)]
         )
         outs = pl.pallas_call(
             kernel,
             grid=(B // G,),
-            in_specs=_state_specs(n2, G) + [rowspec(1), rowspec(1)],
-            out_specs=tuple(_state_specs(n2, G)),
+            in_specs=_state_specs(n2, G, NW) + [rowspec(1), rowspec(1)],
+            out_specs=tuple(_state_specs(n2, G, NW)),
             out_shape=out_shapes,
             interpret=interpret,
-        )(s0, s1, heights, tops, scal, act, en)
+        )(*packed, act, en)
         return _unpack_states(engine.words, *outs)
 
     return run
@@ -826,50 +845,51 @@ def build_fused_step_legal(engine, *, block_g: int = 128,
     (Engine.legal_mask parity; move_gen.rs semantics).  Consume with
     `masked_topk_packed` (hot path) or `unpack_legal` (dense mask).
     """
-    assert engine.words <= 2, "pallas engine kernels support sizes 3-6"
+    assert engine.words <= 4, "pallas engine kernels support sizes 3-8"
     n, n2 = engine.n, engine.num_squares
+    NW = _nwords(engine)
     P = num_patterns(n)
     tables = _pattern_class_tables(n)
     wp = tables[0]
     A = engine.num_actions
     G = block_g
 
-    def kernel(s0_r, s1_r, h_r, t_r, sc_r, act_r, en_r,
-               s0_o, s1_o, h_o, t_o, sc_o, pl_o, sp_o):
-        s0, s1 = s0_r[...], s1_r[...]
+    def kernel(*refs):
+        sw = [r[...] for r in refs[:NW]]
+        h_r, t_r, sc_r, act_r, en_r = refs[NW:NW + 5]
+        outs = refs[NW + 5:]
         heights, tops, scal = h_r[...], t_r[...], sc_r[...]
         action = act_r[...]
         enabled = en_r[...] != 0
 
-        ns0, ns1, nh, nt, nsc = _step_core(n, s0, s1, heights, tops, scal, action)
-        res = _compute_result(n, ns0, ns1, nh, nt, nsc)
+        nsw, nh, nt, nsc = _step_core(n, sw, heights, tops, scal, action)
+        res = _compute_result(n, nsw, nh, nt, nsc)
         sci = jax.lax.broadcasted_iota(_I32, nsc.shape, 0)
         nsc = jnp.where(sci == SC_RESULT, jnp.broadcast_to(res, nsc.shape), nsc)
 
         done = (scal[SC_RESULT:SC_RESULT + 1] != ONGOING) | ~enabled
-        os0 = jnp.where(done, s0, ns0)
-        os1 = jnp.where(done, s1, ns1)
+        osw = [jnp.where(done, s, ns) for s, ns in zip(sw, nsw)]
         oh = jnp.where(done, heights, nh)
         ot = jnp.where(done, tops, nt)
         osc = jnp.where(done, scal, nsc)
-        s0_o[...] = os0
-        s1_o[...] = os1
-        h_o[...] = oh
-        t_o[...] = ot
-        sc_o[...] = osc
+        for j in range(NW):
+            outs[j][...] = osw[j]
+        outs[NW][...] = oh
+        outs[NW + 1][...] = ot
+        outs[NW + 2][...] = osc
 
         # legality of the OUTPUT state (callers gate terminal leaves)
-        place, spread = _legal_bits(n, tables, os0, os1, oh, ot, osc)
-        pl_o[...] = place
+        place, spread = _legal_bits(n, tables, osw, oh, ot, osc)
+        outs[NW + 3][...] = place
         # rows: (d * wp + w) * n2 + q
-        sp_o[...] = jnp.concatenate(
+        outs[NW + 4][...] = jnp.concatenate(
             [spread[d][w] for d in range(4) for w in range(wp)], 0
         )
 
     def run(states: GameState, actions, enabled=None):
         B = actions.shape[0]
         assert B % G == 0, (B, G)
-        s0, s1, heights, tops, scal = _pack_states(states)
+        packed = _pack_states(states, NW)
         if enabled is None:
             en = jnp.ones((1, B), _I32)
         else:
@@ -879,27 +899,26 @@ def build_fused_step_legal(engine, *, block_g: int = 128,
         rowspec = lambda rows: pl.BlockSpec(
             (rows, G), lambda b: (0, b), memory_space=pltpu.VMEM
         )
-        out_shapes = (
-            jax.ShapeDtypeStruct((n2, B), _U32),
-            jax.ShapeDtypeStruct((n2, B), _U32),
-            jax.ShapeDtypeStruct((n2, B), _I32),
-            jax.ShapeDtypeStruct((n2, B), _I32),
-            jax.ShapeDtypeStruct((SC_ROWS, B), _I32),
-            jax.ShapeDtypeStruct((n2, B), _U32),             # place bits
-            jax.ShapeDtypeStruct((4 * wp * n2, B), _U32),    # spread words
+        out_shapes = tuple(
+            [jax.ShapeDtypeStruct((n2, B), _U32)] * NW
+            + [jax.ShapeDtypeStruct((n2, B), _I32),
+               jax.ShapeDtypeStruct((n2, B), _I32),
+               jax.ShapeDtypeStruct((SC_ROWS, B), _I32),
+               jax.ShapeDtypeStruct((n2, B), _U32),           # place bits
+               jax.ShapeDtypeStruct((4 * wp * n2, B), _U32)]  # spread words
         )
         outs = pl.pallas_call(
             kernel,
             grid=(B // G,),
-            in_specs=_state_specs(n2, G) + [rowspec(1), rowspec(1)],
-            out_specs=tuple(_state_specs(n2, G)) + (rowspec(n2),
-                                                    rowspec(4 * wp * n2)),
+            in_specs=_state_specs(n2, G, NW) + [rowspec(1), rowspec(1)],
+            out_specs=tuple(_state_specs(n2, G, NW)) + (rowspec(n2),
+                                                        rowspec(4 * wp * n2)),
             out_shape=out_shapes,
             interpret=interpret,
-        )(s0, s1, heights, tops, scal, act, en)
-        new_states = _unpack_states(engine.words, *outs[:5])
-        place = outs[5].T                                # [B, n2]
-        spread = outs[6].T.reshape(B, 4, wp, n2)         # [B, 4, wp, n2]
+        )(*packed, act, en)
+        new_states = _unpack_states(engine.words, *outs[:NW + 3])
+        place = outs[NW + 3].T                           # [B, n2]
+        spread = outs[NW + 4].T.reshape(B, 4, wp, n2)    # [B, 4, wp, n2]
         return new_states, place, spread
 
     return run
@@ -914,16 +933,21 @@ def build_legal_sampler(engine, *, block_g: int = 128,
     building block; the env rollout kernel inlines the same logic).
     With `external_bits` the second argument is a [B] u32 array instead
     of a seed (the on-core PRNG has no CPU interpreter lowering)."""
-    assert engine.words <= 2, "pallas engine kernels support sizes 3-6"
+    assert engine.words <= 4, "pallas engine kernels support sizes 3-8"
     n, n2 = engine.n, engine.num_squares
+    NW = _nwords(engine)
     P = num_patterns(n)
     tables = _pattern_class_tables(n)
     wp = tables[0]
     G = block_g
 
-    def kernel(seed_r, s0_r, s1_r, h_r, t_r, sc_r, act_o, tot_o):
+    def kernel(*refs):
+        seed_r = refs[0]
+        sw = [r[...] for r in refs[1:1 + NW]]
+        h_r, t_r, sc_r = refs[1 + NW:4 + NW]
+        act_o, tot_o = refs[4 + NW:]
         place, spread = _legal_bits(
-            n, tables, s0_r[...], s1_r[...], h_r[...], t_r[...], sc_r[...]
+            n, tables, sw, h_r[...], t_r[...], sc_r[...]
         )
         if external_bits:
             rbits = seed_r[...].astype(_U32)
@@ -937,7 +961,7 @@ def build_legal_sampler(engine, *, block_g: int = 128,
     def run(states: GameState, seed_or_bits):
         B = states.heights.shape[0]
         assert B % G == 0
-        packed = _pack_states(states)
+        packed = _pack_states(states, NW)
         rowspec = pl.BlockSpec((1, G), lambda b: (0, b),
                                memory_space=pltpu.VMEM)
         if external_bits:
@@ -949,7 +973,7 @@ def build_legal_sampler(engine, *, block_g: int = 128,
         outs = pl.pallas_call(
             kernel,
             grid=(B // G,),
-            in_specs=[seed_spec] + _state_specs(n2, G),
+            in_specs=[seed_spec] + _state_specs(n2, G, NW),
             out_specs=(rowspec, rowspec),
             out_shape=(
                 jax.ShapeDtypeStruct((1, B), _I32),
@@ -971,46 +995,51 @@ def build_env_rollout(engine, num_steps: int, *, block_g: int = 128,
 
     With `external_bits` the second argument is a [num_steps, B] u32
     array of sampling bits (tests; no PRNG lowering on CPU)."""
-    assert engine.words <= 2, "pallas engine kernels support sizes 3-6"
+    assert engine.words <= 4, "pallas engine kernels support sizes 3-8"
     n, n2 = engine.n, engine.num_squares
+    NW = _nwords(engine)
     P = num_patterns(n)
     tables = _pattern_class_tables(n)
     wp = tables[0]
     G = block_g
     start_stones, start_caps = engine.start_stones, engine.start_caps
 
-    def kernel(seed_r, s0_r, s1_r, h_r, t_r, sc_r,
-               s0_o, s1_o, h_o, t_o, sc_o):
+    def kernel(*refs):
+        seed_r = refs[0]
+        state_refs = refs[1:1 + NW + 3]
+        out_refs = refs[1 + NW + 3:]
         if not external_bits:
             pltpu.prng_seed(seed_r[0], pl.program_id(0))
         sci = jax.lax.broadcasted_iota(_I32, (SC_ROWS, G), 0)
 
         def body(i, carry):
-            s0, s1, heights, tops, scal = carry
-            place, spread = _legal_bits(n, tables, s0, s1, heights, tops, scal)
+            sw = list(carry[:NW])
+            heights, tops, scal = carry[NW:]
+            place, spread = _legal_bits(n, tables, sw, heights, tops, scal)
             if external_bits:
                 rbits = seed_r[pl.ds(i, 1), :].astype(_U32)
             else:
                 rbits = pltpu.prng_random_bits((1, G)).astype(_U32)
             action, _total = _sample_action(n, P, wp, place, spread, rbits)
 
-            ns0, ns1, nh, nt, nsc = _step_core(
-                n, s0, s1, heights, tops, scal, action
+            nsw, nh, nt, nsc = _step_core(
+                n, sw, heights, tops, scal, action
             )
-            res = _compute_result(n, ns0, ns1, nh, nt, nsc)
+            res = _compute_result(n, nsw, nh, nt, nsc)
             nsc = jnp.where(
                 sci == SC_RESULT, jnp.broadcast_to(res, nsc.shape), nsc
             )
             # freeze games that were already finished before the step
             done_pre = scal[SC_RESULT:SC_RESULT + 1] != ONGOING
-            s0, s1, heights, tops, scal = _freeze(
-                done_pre, (s0, s1, heights, tops, scal),
-                (ns0, ns1, nh, nt, nsc),
+            frozen = _freeze(
+                done_pre, (*sw, heights, tops, scal),
+                (*nsw, nh, nt, nsc),
             )
+            sw = list(frozen[:NW])
+            heights, tops, scal = frozen[NW:]
             # reset finished games to the initial position (komi kept)
             done = scal[SC_RESULT:SC_RESULT + 1] != ONGOING
-            s0 = jnp.where(done, _U32(0), s0)
-            s1 = jnp.where(done, _U32(0), s1)
+            sw = [jnp.where(done, _U32(0), s) for s in sw]
             heights = jnp.where(done, 0, heights)
             tops = jnp.where(done, EMPTY, tops)
             fresh = jnp.where(
@@ -1023,16 +1052,17 @@ def build_env_rollout(engine, num_steps: int, *, block_g: int = 128,
                 ),
             )
             scal = jnp.where(done, fresh, scal)
-            return s0, s1, heights, tops, scal
+            return (*sw, heights, tops, scal)
 
-        carry = (s0_r[...], s1_r[...], h_r[...], t_r[...], sc_r[...])
+        carry = tuple(r[...] for r in state_refs)
         carry = jax.lax.fori_loop(0, num_steps, body, carry)
-        s0_o[...], s1_o[...], h_o[...], t_o[...], sc_o[...] = carry
+        for r, v in zip(out_refs, carry):
+            r[...] = v
 
     def run(states: GameState, seed_or_bits):
         B = states.heights.shape[0]
         assert B % G == 0
-        packed = _pack_states(states)
+        packed = _pack_states(states, NW)
         if external_bits:
             seed_spec = pl.BlockSpec(
                 (num_steps, G), lambda b: (0, b), memory_space=pltpu.VMEM
@@ -1041,18 +1071,17 @@ def build_env_rollout(engine, num_steps: int, *, block_g: int = 128,
         else:
             seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
             seed_arg = jnp.asarray([seed_or_bits], _I32)
-        out_shapes = (
-            jax.ShapeDtypeStruct((n2, B), _U32),
-            jax.ShapeDtypeStruct((n2, B), _U32),
-            jax.ShapeDtypeStruct((n2, B), _I32),
-            jax.ShapeDtypeStruct((n2, B), _I32),
-            jax.ShapeDtypeStruct((SC_ROWS, B), _I32),
+        out_shapes = tuple(
+            [jax.ShapeDtypeStruct((n2, B), _U32)] * NW
+            + [jax.ShapeDtypeStruct((n2, B), _I32),
+               jax.ShapeDtypeStruct((n2, B), _I32),
+               jax.ShapeDtypeStruct((SC_ROWS, B), _I32)]
         )
         outs = pl.pallas_call(
             kernel,
             grid=(B // G,),
-            in_specs=[seed_spec] + _state_specs(n2, G),
-            out_specs=tuple(_state_specs(n2, G)),
+            in_specs=[seed_spec] + _state_specs(n2, G, NW),
+            out_specs=tuple(_state_specs(n2, G, NW)),
             out_shape=out_shapes,
             interpret=interpret,
         )(seed_arg, *packed)

@@ -120,7 +120,7 @@ def test_fused_step_legal_parity(n):
         states = engine.batched_step(states, jnp.asarray(acts))
 
 
-@pytest.mark.parametrize("n", SIZES)
+@pytest.mark.parametrize("n", SIZES + [7, 8])
 @pytest.mark.parametrize("plies", [0, 1, 9, 40])
 def test_sampler_legal_and_counts(n, plies):
     """Sampled actions are legal; reported totals equal the legal count."""
