@@ -167,8 +167,28 @@ class SelfPlayActor:
         return jax.jit(jax.vmap(self.engine.wins_in_one))
 
     @cached_property
+    def _any_win(self):
+        """[B] bool: some legal move wins on the spot.  The full [B, A]
+        win/legal tables cost ~400ms/move to read through the tunnel;
+        this reads B bytes and the full tables are fetched only on a hit
+        (rare: one readback per finished-by-tactics game)."""
+        wins_fn = self._batched_wins
+
+        @jax.jit
+        def run(states):
+            return jnp.any(wins_fn(states), axis=-1)
+
+        return run
+
+    @cached_property
     def _batched_legal(self):
         return self.engine.batched_legal_mask
+
+    @cached_property
+    def _root_visits_u16(self):
+        dtype = jnp.uint16 if self._per_move_sims <= 65535 else jnp.int32
+        return jax.jit(lambda tree: jax.vmap(root_visit_counts)(tree)
+                       .astype(dtype))
 
     def _opening_actions(self, rng: np.random.Generator, count: int):
         """Forced a1, then a far corner at random (self_play.rs:110-117)."""
@@ -218,6 +238,19 @@ class SelfPlayActor:
             completed += 1
             return True  # caller resets the slot
 
+        prof = os.environ.get("TAK_PROFILE_MOVES")
+        prof_t = {}
+        prof_moves = 0
+
+        class _Sect:
+            def __init__(self, name):
+                self.name = name
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+            def __exit__(self, *a):
+                prof_t[self.name] = prof_t.get(self.name, 0.0) + (
+                    time.perf_counter() - self.t0)
+
         while active.any():
             plies = np.asarray(states.ply)
 
@@ -229,34 +262,44 @@ class SelfPlayActor:
                 states = self._masked_step(states, jnp.asarray(second), jnp.asarray(fresh))
                 plies = np.asarray(states.ply)
 
-            # instant-win scan
+            # instant-win scan: read the [B] any-win flag (one ~30ms
+            # round trip), fetch the full win/legal tables only on a hit.
+            # (Dispatch-only overlap with the search was measured SLOWER:
+            # hit iterations — a large fraction, one per tactics-won
+            # game — then pay a redundant search on top of the fetch.)
             reset_mask = np.zeros(B, bool)
             if cfg.instant_win_scan:
-                wins = np.asarray(self._batched_wins(states))
-                legal = np.asarray(self._batched_legal(states))
-                host_states = {
-                    k: np.asarray(v) for k, v in
-                    ((f, getattr(states, f)) for f in
-                     ("stacks", "heights", "tops", "to_move", "ply", "stones",
-                      "caps", "half_komi", "reversible", "result"))
-                }
-                for i in range(B):
-                    if not active[i] or not wins[i].any():
-                        continue
-                    acts = np.nonzero(legal[i])[0].astype(np.int32)
-                    visits = np.where(wins[i][acts], INSTANT_WIN_VISITS, 1).astype(np.int32)
-                    pending[i].append(Example(
-                        state={k: v[i].copy() for k, v in host_states.items()},
-                        actions=acts, visits=visits,
-                    ))
-                    white_result = 1.0 if int(host_states["to_move"][i]) == 0 else -1.0
-                    finish_slot(i, white_result)
-                    reset_mask[i] = True
+              with _Sect("win_scan"):
+                any_win = np.asarray(self._any_win(states)) & active
+                if any_win.any():
+                    prof_t["win_hits"] = prof_t.get("win_hits", 0.0) + 1e-3
+                    fields = ("stacks", "heights", "tops", "to_move",
+                              "ply", "stones", "caps", "half_komi",
+                              "reversible", "result")
+                    wins, legal, host_vals = jax.device_get((
+                        self._batched_wins(states),
+                        self._batched_legal(states),
+                        tuple(getattr(states, k) for k in fields)))
+                    host_states = dict(zip(fields, host_vals))
+                    for i in np.nonzero(any_win)[0]:
+                        acts = np.nonzero(legal[i])[0].astype(np.int32)
+                        visits = np.where(wins[i][acts], INSTANT_WIN_VISITS,
+                                          1).astype(np.int32)
+                        pending[i].append(Example(
+                            state={k: v[i].copy()
+                                   for k, v in host_states.items()},
+                            actions=acts, visits=visits,
+                        ))
+                        white_result = (
+                            1.0 if int(host_states["to_move"][i]) == 0
+                            else -1.0)
+                        finish_slot(i, white_result)
+                        reset_mask[i] = True
                 if reset_mask.any():
                     if started < cfg.games:
-                        n_new = int(reset_mask.sum())
-                        started += n_new
-                        states = self._masked_reset(states, jnp.asarray(reset_mask))
+                        started += int(reset_mask.sum())
+                        states = self._masked_reset(
+                            states, jnp.asarray(reset_mask))
                     else:
                         active &= ~reset_mask
                     tree_stale |= reset_mask
@@ -273,7 +316,8 @@ class SelfPlayActor:
                     tree, states, jnp.asarray(tree_stale)
                 )
                 tree_stale[:] = False
-            tree = self.mcts.prepare_root(params, tree)
+            with _Sect("prepare_root"):
+                tree = self.mcts.prepare_root(params, tree)
             jrng, k1, k2 = jax.random.split(jrng, 3)
             if self._gumbel:
                 tree, gumbel = self.mcts.run_sims_gumbel(params, tree, k1)
@@ -283,29 +327,40 @@ class SelfPlayActor:
                 tree = self.mcts.add_noise(
                     k1, tree, cfg.noise_alpha, cfg.noise_ratio, noise_mask
                 )
-                tree = self.mcts.run_sims(params, tree)
-                if (cfg.quad_rollout_plies > 0
-                        and int(plies[0]) < cfg.quad_rollout_plies):
-                    for _ in range(3):  # 4x total (self_play.rs:63-67)
-                        tree = self.mcts.run_sims(params, tree)
+                with _Sect("run_sims"):
+                    tree = self.mcts.run_sims(params, tree)
+                    if (cfg.quad_rollout_plies > 0
+                            and int(plies[0]) < cfg.quad_rollout_plies):
+                        for _ in range(3):  # 4x total (self_play.rs:63-67)
+                            tree = self.mcts.run_sims(params, tree)
                 exploit = jnp.asarray(plies >= cfg.exploit_plies)
-                actions = self.mcts.select_moves(k2, tree, exploit)
+                with _Sect("select_moves"):
+                    actions = self.mcts.select_moves(k2, tree, exploit)
             factor = 4 if (cfg.quad_rollout_plies > 0
                            and int(plies[0]) < cfg.quad_rollout_plies) else 1
             sims_done += factor * cfg.search.num_sims * int(active.sum())
 
             # record examples: pre-move snapshot + root visit counts, or in
-            # gumbel mode the improved policy scaled to integer weights
-            if self._gumbel:
-                pi = np.asarray(self.mcts.gumbel_policy_weights(tree))
-                visits_all = np.round(pi * 65535.0).astype(np.int64)
-            else:
-                visits_all = np.asarray(jax.vmap(root_visit_counts)(tree))
-            host_states = {
-                k: np.asarray(getattr(states, k)) for k in
-                ("stacks", "heights", "tops", "to_move", "ply", "stones",
-                 "caps", "half_komi", "reversible", "result")
-            }
+            # gumbel mode the improved policy scaled to integer weights.
+            # ONE device_get round trip for everything (visits u16-packed
+            # + snapshot fields): each separate np.asarray pays the ~29ms
+            # tunnel RTT
+            fields = ("stacks", "heights", "tops", "to_move", "ply",
+                      "stones", "caps", "half_komi", "reversible", "result")
+            with _Sect("visits_readback"):
+                visits_dev = (self.mcts.gumbel_policy_weights(tree)
+                              if self._gumbel else
+                              self._root_visits_u16(tree))
+                visits_all, host_vals = jax.device_get((
+                    visits_dev,
+                    tuple(getattr(states, k) for k in fields),
+                ))
+                if self._gumbel:
+                    visits_all = np.round(visits_all * 65535.0).astype(np.int64)
+                else:
+                    visits_all = visits_all.astype(np.int64)
+                host_states = dict(zip(fields, host_vals))
+
             for i in range(B):
                 if not active[i]:
                     continue
@@ -346,11 +401,14 @@ class SelfPlayActor:
                             f"{i} at ply {plies[i]} (visits sum "
                             f"{viz[i].sum()}); dump: /tmp/tak_illegal_action.npz"
                         )
-            states = self._masked_step(states, actions, jnp.asarray(active))
-            results = np.asarray(states.result)
+            with _Sect("step"):
+                states = self._masked_step(states, actions,
+                                           jnp.asarray(active))
+                results = np.asarray(states.result)
             if cfg.tree_reuse:
                 # carry each game's played subtree into the next search
-                tree = self._reroot_batch(tree, actions, states)
+                with _Sect("reroot"):
+                    tree = self._reroot_batch(tree, actions, states)
                 if not self.search_config.recycle:
                     # a carried subtree that nearly fills the pool would
                     # starve the next search (a full pool backs up into n0
@@ -380,6 +438,14 @@ class SelfPlayActor:
                     states = self._masked_reset(states, jnp.asarray(reset_mask))
                 else:
                     active &= ~reset_mask
+
+            prof_moves += 1
+            if prof and prof_moves % int(prof) == 0:
+                tot = sum(prof_t.values())
+                parts = " ".join(f"{k}={v/prof_moves*1e3:.0f}ms"
+                                 for k, v in sorted(prof_t.items()))
+                log(f"[prof] {prof_moves} moves, accounted "
+                    f"{tot/prof_moves*1e3:.0f}ms/move: {parts}")
 
             if completed >= cfg.games:
                 break
