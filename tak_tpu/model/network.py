@@ -228,6 +228,41 @@ class Network:
 
         return run
 
+    def _policy_targets_fn(self):
+        """chunk (list[Example]) -> [C, policy_size] normalized policy
+        targets, built ON DEVICE from the sparse (actions, visits)
+        pairs: the dense per-example numpy build (Example.policy_dense)
+        cost ~14GB of host writes per 400k-example generation.  Padded
+        width is bucketed to a power of two so only a handful of
+        program shapes compile.  Matches policy_dense exactly (visit
+        counts are < 2^24 so the f32 sum is exact)."""
+        An = self.engine.num_actions
+        legacy = (jnp.asarray(self.engine.tables.legacy_actions)
+                  if self.config.policy_head == "dense" else None)
+
+        @jax.jit
+        def build_pi(acts, vis):
+            rows = jnp.arange(acts.shape[0])[:, None]
+            pi = jnp.zeros((acts.shape[0], An), jnp.float32).at[
+                rows, acts
+            ].add(vis)
+            pi = pi / jnp.maximum(vis.sum(-1, keepdims=True), 1.0)
+            return pi if legacy is None else pi[:, legacy]
+
+        def chunk_pi(chunk):
+            C = len(chunk)
+            max_nz = max(max((len(e.actions) for e in chunk), default=1), 1)
+            width = 1 << (max_nz - 1).bit_length()
+            acts = np.zeros((C, width), np.int32)
+            vis = np.zeros((C, width), np.float32)
+            for r, e in enumerate(chunk):
+                k = len(e.actions)
+                acts[r, :k] = e.actions
+                vis[r, :k] = e.visits
+            return build_pi(jnp.asarray(acts), jnp.asarray(vis))
+
+        return chunk_pi
+
     def train(self, variables, examples, *, rng=None, log=print,
               chunk_size: int | None = None, chunks_in_step: int | None = None,
               mesh=None):
@@ -263,22 +298,15 @@ class Network:
                 (params, batch_stats, opt_state, grad_acc), rep
             )
 
-        A = self.config.policy_size
-        legacy = (jnp.asarray(self.engine.tables.legacy_actions)
-                  if self.config.policy_head == "dense" else None)
+
+        chunk_pi = self._policy_targets_fn()
         order = rng.permutation(len(examples))
         n_chunks = len(examples) // chunk_size
         for i in range(n_chunks):
             idx = order[i * chunk_size : (i + 1) * chunk_size]
             chunk = [examples[j] for j in idx]
             planes = self.observe_batch(stack_states(chunk))
-            if legacy is not None:
-                full = np.stack(
-                    [e.policy_dense(self.engine.num_actions) for e in chunk]
-                )
-                pi = jnp.asarray(full)[:, legacy]  # channel ids -> legacy list
-            else:
-                pi = jnp.asarray(np.stack([e.policy_dense(A) for e in chunk]))
+            pi = chunk_pi(chunk)
             z = jnp.asarray(np.array([e.result for e in chunk], np.float32))
             planes, pi, z = place_batch(planes), place_batch(pi), place_batch(z)
             grad_acc, batch_stats, lp, lz = self._accum_chunk(

@@ -69,3 +69,39 @@ def test_buffer_save_load_roundtrip(tmp_path):
         assert np.array_equal(a.actions, b.actions)
         assert np.array_equal(a.visits, b.visits)
         assert a.result == b.result
+
+
+def test_policy_targets_match_policy_dense():
+    """Device-built sparse policy targets == Example.policy_dense, both
+    policy heads (network.py _policy_targets_fn)."""
+    import numpy as np
+
+    from tak_tpu.engine.core import get_engine
+    from tak_tpu.examples import Example
+    from tak_tpu.model.network import Network
+    from tak_tpu.model.resnet import NetConfig
+
+    engine = get_engine(5)
+    rng = np.random.default_rng(3)
+    chunk = []
+    for _ in range(7):
+        k = int(rng.integers(1, 40))
+        acts = rng.choice(engine.num_actions, size=k, replace=False)
+        chunk.append(Example(
+            state={}, actions=np.sort(acts).astype(np.int32),
+            visits=rng.integers(1, 500, k).astype(np.int32),
+        ))
+    for head in ("conv", "dense"):
+        net = Network(engine, NetConfig(n=5, filters=16, blocks=1,
+                                        policy_head=head))
+        got = np.asarray(net._policy_targets_fn()(chunk))
+        if head == "dense":
+            legacy = np.asarray(engine.tables.legacy_actions)
+            want = np.stack([
+                e.policy_dense(engine.num_actions)[legacy] for e in chunk
+            ])
+        else:
+            want = np.stack([
+                e.policy_dense(engine.num_actions) for e in chunk
+            ])
+        np.testing.assert_array_equal(got, want, err_msg=head)

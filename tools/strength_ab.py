@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--budget", type=int, default=1280)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-plies", type=int, default=200)
+    ap.add_argument("--model", default=None,
+                    help="trained checkpoint (.model) for BOTH sides; "
+                    "untrained nets drown in reversible-ply draws")
+    ap.add_argument("--blocks", type=int, default=None)
     args = ap.parse_args()
 
     from tak_tpu.engine.core import get_engine
@@ -55,9 +59,15 @@ def main():
     from tak_tpu.model.network import Network
     from tak_tpu.pit import PitConfig, pit
 
+    from tak_tpu.model.resnet import NetConfig
+
     engine = get_engine(args.size)
-    net = Network(engine)
-    variables = net.init_variables(0)
+    blocks = args.blocks or (16 if args.size >= 6 else 8)
+    net = Network(engine, NetConfig(n=args.size, blocks=blocks))
+    if args.model:
+        variables = net.load(args.model)
+    else:
+        variables = net.init_variables(0)
 
     sims_b = args.sims_b or args.sims
     rec = dict(max_children=32, recycle=True,
