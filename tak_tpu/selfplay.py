@@ -218,6 +218,7 @@ class SelfPlayActor:
         tree = None                     # persistent across moves (reuse)
         tree_stale = np.ones(B, bool)   # slots whose tree must be blanked
         pending: list[list[Example]] = [[] for _ in range(B)]
+        completed_by_win = 0
         active = np.ones(B, bool)
         started = B
         completed = 0
@@ -272,7 +273,6 @@ class SelfPlayActor:
               with _Sect("win_scan"):
                 any_win = np.asarray(self._any_win(states)) & active
                 if any_win.any():
-                    prof_t["win_hits"] = prof_t.get("win_hits", 0.0) + 1e-3
                     fields = ("stacks", "heights", "tops", "to_move",
                               "ply", "stones", "caps", "half_komi",
                               "reversible", "result")
@@ -294,6 +294,7 @@ class SelfPlayActor:
                             1.0 if int(host_states["to_move"][i]) == 0
                             else -1.0)
                         finish_slot(i, white_result)
+                        completed_by_win += 1
                         reset_mask[i] = True
                 if reset_mask.any():
                     if started < cfg.games:
@@ -445,7 +446,8 @@ class SelfPlayActor:
                 parts = " ".join(f"{k}={v/prof_moves*1e3:.0f}ms"
                                  for k, v in sorted(prof_t.items()))
                 log(f"[prof] {prof_moves} moves, accounted "
-                    f"{tot/prof_moves*1e3:.0f}ms/move: {parts}")
+                    f"{tot/prof_moves*1e3:.0f}ms/move: {parts} "
+                    f"(games finished by instant win: {completed_by_win})")
 
             if completed >= cfg.games:
                 break
