@@ -48,9 +48,11 @@ def state_to_host(state: GameState) -> dict:
 
 
 def _host_to_state(d: dict) -> GameState:
-    import jax.numpy as jnp
-
-    return GameState(**{k: jnp.asarray(v) for k, v in d.items()})
+    # plain numpy views: jnp.asarray here would round-trip every tiny
+    # field through the DEVICE (state_to_tps reads them right back) —
+    # ~20 tunnel RTTs per example, measured as ~100ms per example_to_line
+    # on the axon backend (an 8-minute buffer save at 5k examples)
+    return GameState(**{k: np.asarray(v) for k, v in d.items()})
 
 
 def stack_states(examples: list[Example]) -> GameState:

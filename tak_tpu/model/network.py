@@ -317,4 +317,15 @@ class Network:
                 params, opt_state, grad_acc = self._apply_update(
                     params, opt_state, grad_acc
                 )
+        if n_chunks % chunks_in_step != 0:
+            # trailing partial accumulation: the reference drops it
+            # (network.rs:37-57), which it can afford at 800 chunks per
+            # 400k-example pass — but with a small buffer (< 20 chunks)
+            # dropping it means NO optimizer step at all and the
+            # candidate equals the incumbent
+            log(f"chunk {n_chunks}/{n_chunks} p={float(lp):.4f} "
+                f"z={float(lz):.4f} step (trailing flush)")
+            params, opt_state, grad_acc = self._apply_update(
+                params, opt_state, grad_acc
+            )
         return {"params": params, "batch_stats": batch_stats}

@@ -270,8 +270,10 @@ class SelfPlayActor:
             # game — then pay a redundant search on top of the fetch.)
             reset_mask = np.zeros(B, bool)
             if cfg.instant_win_scan:
+              with _Sect("win_dispatch"):
+                any_win_dev = self._any_win(states)
               with _Sect("win_scan"):
-                any_win = np.asarray(self._any_win(states)) & active
+                any_win = np.asarray(any_win_dev) & active
                 if any_win.any():
                     fields = ("stacks", "heights", "tops", "to_move",
                               "ply", "stones", "caps", "half_komi",
