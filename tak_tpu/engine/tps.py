@@ -53,9 +53,12 @@ def state_to_tps(engine: Engine, state: GameState) -> str:
     return f"{'/'.join(rows)} {to_move} {move_number}"
 
 
-def tps_to_state(engine: Engine, tps: str, half_komi: int = 0) -> GameState:
-    import jax.numpy as jnp
+def tps_to_host(engine: Engine, tps: str, half_komi: int = 0) -> dict:
+    """Parse TPS into a dict of HOST numpy arrays (GameState fields).
 
+    The numpy core of `tps_to_state`: example codecs walk thousands of
+    lines, and building jnp arrays per line costs ~20 device round
+    trips each on the axon backend (minutes per buffer load)."""
     n = engine.n
     W = stack_words(n)
     parts = tps.strip().split()
@@ -102,16 +105,22 @@ def tps_to_state(engine: Engine, tps: str, half_komi: int = 0) -> GameState:
     stones = [d_stones - (piece_count[i] - cap_count[i]) for i in (0, 1)]
     caps = [d_caps - cap_count[i] for i in (0, 1)]
 
-    state = GameState(
-        stacks=jnp.asarray(stacks.reshape(n * n, W)),
-        heights=jnp.asarray(heights.reshape(-1)),
-        tops=jnp.asarray(tops.reshape(-1)),
-        to_move=jnp.int32(to_move),
-        ply=jnp.int32(ply),
-        stones=jnp.asarray(stones, jnp.int32),
-        caps=jnp.asarray(caps, jnp.int32),
-        half_komi=jnp.int32(half_komi),
-        reversible=jnp.int32(0),
-        result=jnp.int32(0),
-    )
-    return state
+    return {
+        "stacks": stacks.reshape(n * n, W),
+        "heights": heights.reshape(-1),
+        "tops": tops.reshape(-1),
+        "to_move": np.int32(to_move),
+        "ply": np.int32(ply),
+        "stones": np.asarray(stones, np.int32),
+        "caps": np.asarray(caps, np.int32),
+        "half_komi": np.int32(half_komi),
+        "reversible": np.int32(0),
+        "result": np.int32(0),
+    }
+
+
+def tps_to_state(engine: Engine, tps: str, half_komi: int = 0) -> GameState:
+    import jax.numpy as jnp
+
+    host = tps_to_host(engine, tps, half_komi)
+    return GameState(**{k: jnp.asarray(v) for k, v in host.items()})

@@ -84,8 +84,9 @@ def example_to_line(engine: Engine, ex: Example) -> str:
 def line_to_example(engine: Engine, line: str) -> Example:
     parts = line.strip().split(";")
     tps, ws, wc, bs, bc, hk, result, policy = parts
-    state = tps_to_state(engine, tps, half_komi=int(hk))
-    host = state_to_host(state)
+    from .engine.tps import tps_to_host
+
+    host = tps_to_host(engine, tps, half_komi=int(hk))
     host["stones"] = np.array([int(ws), int(bs)], np.int32)
     host["caps"] = np.array([int(wc), int(bc)], np.int32)
     actions, visits = [], []
