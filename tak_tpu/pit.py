@@ -9,8 +9,11 @@ random far corner + 2 random flat/cap placements (pit.rs:33-64).
 TPU redesign: the reference plays games sequentially with an early exit
 when the outcome is decided (pit.rs:20-23); here all games run in
 lockstep, split into two half-batches by which network is to move (all
-lockstep games share ply parity), so the early exit is unnecessary and
-every game finishes.  win_rate = wins / (wins + losses) (pit.rs:98-111).
+lockstep games share ply parity).  The lockstep equivalent of the early
+exit is `PitConfig.decide_threshold`: the whole batch stops once the
+unfinished games cannot move win_rate across the gate threshold
+(straggler games otherwise run the batch to max_plies).
+win_rate = wins / (wins + losses) (pit.rs:98-111).
 
 Tree reuse matches the reference: its pit drives BOTH players through
 `Player::play_move` every ply (pit.rs:66-92), so each net's search tree
@@ -52,6 +55,10 @@ class PitConfig:
     # (visit distributions are chaotic under any perturbation there; see
     # tools/quality_control.py).
     search_b: SearchConfig | None = None
+    # stop as soon as the gate decision is mathematically settled
+    # against this win-rate threshold (reference behavior: pit.rs:20-23
+    # early-exits when the outcome is decided).  None = play all games.
+    decide_threshold: float | None = None
 
 
 @dataclass
@@ -173,7 +180,19 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
             trees[(net_id, half)] = tree
         return np.asarray(mcts.select_moves(key, tree, jnp.ones(H, bool)))
 
-    while not done.all() and ply < cfg.max_plies:
+    def _decided() -> bool:
+        """Gate outcome settled: even the extreme outcomes of the
+        unfinished games cannot move win_rate across the threshold."""
+        if cfg.decide_threshold is None:
+            return False
+        t = cfg.decide_threshold
+        left = int((~done).sum())
+        w, l = result.wins, result.losses
+        best = (w + left) / max(w + left + l, 1)     # all remaining won
+        worst = w / max(w + l + left, 1)             # all remaining lost
+        return (worst > t) or (best <= t)
+
+    while not done.all() and ply < cfg.max_plies and not _decided():
         # All lockstep games share ply parity: when white is to move, `new`
         # is the mover in exactly the first half (new_is_white block), so
         # each net searches one contiguous fixed-shape half-batch.

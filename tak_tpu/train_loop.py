@@ -120,7 +120,11 @@ def training_loop(
             )
 
             log(f"[gen {generation}] pitting candidate vs incumbent")
-            result = pit(engine, eval_fn, candidate, variables, cfg.pit,
+            import dataclasses
+
+            gate_pit = dataclasses.replace(
+                cfg.pit, decide_threshold=cfg.win_rate_threshold)
+            result = pit(engine, eval_fn, candidate, variables, gate_pit,
                          seed=seed + generation, log=log)
             log(f"[gen {generation}] {result} win_rate={result.win_rate():.3f}")
             if result.win_rate() > cfg.win_rate_threshold:
