@@ -201,17 +201,28 @@ def bench_selfplay(engine):
 
 
 def main():
+    import sys
+
     from tak_tpu.engine.core import get_engine
 
+    def note(msg):  # progress on stderr; stdout stays the one JSON line
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     engine = get_engine(N)
+    t0 = time.perf_counter()
+    note("env phase starting")
     env_rate = bench_env(engine)
+    note(f"env done at {time.perf_counter() - t0:.0f}s; mcts starting")
     mcts_rate = bench_mcts(engine)
+    note(f"mcts done at {time.perf_counter() - t0:.0f}s; selfplay starting")
     sp_rate = None
     if SP_ENABLE:
         try:
             sp_rate = bench_selfplay(engine)
-        except Exception:
+        except Exception as e:
+            note(f"selfplay extra failed: {type(e).__name__}: {e}")
             sp_rate = None
+    note(f"all phases done at {time.perf_counter() - t0:.0f}s")
     extras = {}
     if sp_rate is not None:
         extras["selfplay_sims_per_s"] = round(sp_rate)
