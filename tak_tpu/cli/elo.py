@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wave", type=int, default=16)
     p.add_argument("--adjacent", action="store_true",
                    help="only play checkpoint i vs i+1 (cheap curve)")
+    p.add_argument("--max-plies", type=int, default=400,
+                   help="cut unfinished games (count as draws); straggler "
+                   "draw-heavy games otherwise run the whole batch long")
     p.add_argument("--filters", type=int, default=128)
     p.add_argument("--blocks", type=int, default=None)
     p.add_argument("--out", default=None, help="write ratings JSON here")
@@ -71,6 +74,7 @@ def main(argv=None):
             games=args.games, komi=args.komi,
             search=SearchConfig(num_sims=args.rollouts, wave_size=args.wave,
                                 max_children=128),
+            max_plies=args.max_plies,
         ),
         schedule="adjacent" if args.adjacent else "round_robin",
     )
