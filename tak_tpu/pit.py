@@ -178,7 +178,8 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
         tree = mcts.run_sims(params, tree)
         if cfg.tree_reuse:
             trees[(net_id, half)] = tree
-        return np.asarray(mcts.select_moves(key, tree, jnp.ones(H, bool)))
+        # DEVICE array: both halves' moves are fetched in one round trip
+        return mcts.select_moves(key, tree, jnp.ones(H, bool))
 
     def _decided() -> bool:
         """Gate outcome settled: even the extreme outcomes of the
@@ -201,11 +202,14 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
         second_half = jax.tree.map(lambda x: x[H:], states)
         jrng, k1, k2 = jax.random.split(jrng, 3)
         if to_move_white:
-            acts_a = search_half(0, new_params, 0, first_half, k1)
-            acts_b = search_half(1, old_params, 1, second_half, k2)
+            acts_a_dev = search_half(0, new_params, 0, first_half, k1)
+            acts_b_dev = search_half(1, old_params, 1, second_half, k2)
         else:
-            acts_a = search_half(1, old_params, 0, first_half, k1)
-            acts_b = search_half(0, new_params, 1, second_half, k2)
+            acts_a_dev = search_half(1, old_params, 0, first_half, k1)
+            acts_b_dev = search_half(0, new_params, 1, second_half, k2)
+        # one bundled readback per ply (a separate np.asarray costs a
+        # ~29ms tunnel round trip each; see selfplay.py)
+        acts_a, acts_b = jax.device_get((acts_a_dev, acts_b_dev))
         actions = np.concatenate([acts_a, acts_b])
 
         live = jnp.asarray(~done)
@@ -225,17 +229,27 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
                 jax.tree.map(lambda x: x[H:], states),
             )
             half_actions = (jnp.asarray(acts_a), jnp.asarray(acts_b))
+            rerooted = {}
             for (net_id, half), tree in list(trees.items()):
                 reroot_batch, room, recycles = reuse_ops[net_id]
-                t = reroot_batch(tree, half_actions[half], halves[half])
+                rerooted[(net_id, half)] = reroot_batch(
+                    tree, half_actions[half], halves[half])
+            # one readback: results + every rerooted tree's next_free
+            keys = list(rerooted)
+            results, frees = jax.device_get((
+                states.result, tuple(rerooted[k].next_free for k in keys)))
+            for k, free in zip(keys, frees):
+                net_id, half = k
+                t = rerooted[k]
+                _, room, recycles = reuse_ops[net_id]
                 if not recycles:
                     # recycling searches evict their own headroom
-                    stale = np.asarray(t.next_free) > room
+                    stale = free > room
                     if stale.any():
                         t = blank(t, halves[half], jnp.asarray(stale))
-                trees[(net_id, half)] = t
-
-        results = np.asarray(states.result)
+                trees[k] = t
+        else:
+            results = np.asarray(states.result)
         for i in range(B):
             if done[i] or results[i] == ONGOING:
                 continue
