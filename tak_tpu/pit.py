@@ -76,7 +76,8 @@ class PitResult:
                 f"draws: {self.draws} }}")
 
 
-def _make_opening(engine: Engine, rng: np.random.Generator, komi: int):
+def _make_opening(engine: Engine, rng: np.random.Generator, komi: int,
+                  random_plies: int = 2):
     """a1 + far corner + `random_plies` random flat/cap placements."""
     n = engine.n
     g = Game(n, half_komi=2 * komi)
@@ -84,7 +85,7 @@ def _make_opening(engine: Engine, rng: np.random.Generator, komi: int):
     corner = (n - 1) * n + (0 if rng.random() < 0.5 else n - 1)
     g.play_action(int(corner), check=False)
     actions = [0, int(corner)]
-    for _ in range(2):
+    for _ in range(random_plies):
         legal = g.legal_actions()
         moves = [a for a in legal
                  if engine.tables.action_to_move(int(a)).piece in (FLAT, CAP)
@@ -130,7 +131,8 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
         stats.setdefault("carried_n0", 0)
 
     n_openings = cfg.games // 2
-    openings = [_make_opening(engine, rng, cfg.komi) for _ in range(n_openings)]
+    openings = [_make_opening(engine, rng, cfg.komi, cfg.random_plies)
+                for _ in range(n_openings)]
 
     # game i plays opening i % n_openings; new is white for i < n_openings
     B = 2 * n_openings
