@@ -161,7 +161,7 @@ def test_sampler_uniform_over_legal(n):
     assert seen == legal0
 
 
-@pytest.mark.parametrize("n", [6])
+@pytest.mark.parametrize("n", [6, 7])
 def test_rollout_matches_scripted_xla_loop(n):
     """T-step rollout with injected bits == XLA loop replaying the same
     sampling rule (r = bits % n_legal over the canonical group order)."""
