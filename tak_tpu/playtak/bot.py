@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 import socket
 import time
+from functools import cached_property
 from dataclasses import dataclass
 
 import numpy as np
@@ -83,12 +84,31 @@ class PlaytakBot:
         )
         return player
 
+    @cached_property
+    def _wins_fn(self):
+        """Single-position instant-win scan: the fused kernel steps all
+        (action) probes in one launch on TPU (VERDICT r2: the XLA vmap
+        path cost a full per-action scan every online move); XLA
+        fallback elsewhere."""
+        import jax
+
+        if (jax.default_backend() != "cpu"
+                and self.engine.fused_kernels_supported):
+            fused = self.engine.wins_in_one_fused_fn()
+
+            def run(state):
+                batched = jax.tree.map(lambda x: x[None], state)
+                return fused(batched)[0]
+
+            return run
+        return self.engine.wins_in_one
+
     def _choose_move(self, player: Player, last_move: int | None):
         """Instant win > book > timed search (bot.rs:71-105)."""
         game = player.game
         if game.ply == 0:
             return self.engine.tables.ptn_to_action("a1"), False
-        wins = np.asarray(self.engine.wins_in_one(game.state))
+        wins = np.asarray(self._wins_fn(game.state))
         if wins.any():
             return int(np.nonzero(wins)[0][0]), False
         if game.ply == 1 and last_move in self.opening_book:
