@@ -29,7 +29,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--games", type=int, default=1000, help="self-play games/gen")
     p.add_argument("--workers", type=int, default=32, help="lockstep games")
     p.add_argument("--rollouts", type=int, default=10_000, help="sims per move")
-    p.add_argument("--wave", type=int, default=8, help="descents per NN batch")
+    p.add_argument("--wave", type=int, default=16, help="descents per NN batch")
+    p.add_argument("--k", "--max-children", type=int, default=32, dest="k",
+                   help="stored children per non-root node (quality-neutral "
+                        "down to 32 at production budgets; docs/ROADMAP.md)")
+    p.add_argument("--recycle", dest="recycle", action="store_true",
+                   default=None,
+                   help="bounded node pool with cold-leaf eviction: deep sim "
+                        "budgets run on the fused VMEM kernel tier instead "
+                        "of the HBM tier (default: auto — on when rollouts "
+                        "exceed the VMEM pool size)")
+    p.add_argument("--no-recycle", dest="recycle", action="store_false")
     p.add_argument("--pit-games", type=int, default=128)
     p.add_argument("--pit-rollouts", type=int, default=800)
     p.add_argument("--win-rate-threshold", type=float, default=0.55,
@@ -125,10 +135,23 @@ def main(argv=None):
         buffer.load(engine, path)
     print(f"replay buffer: {len(buffer)} examples")
 
+    # recycle auto-default: deep sim budgets only fit the fused VMEM tier
+    # through the bounded recycled pool (the unbounded pool would land on
+    # the ~4x slower HBM tier); shallow searches fit outright
+    from ..selfplay import RECYCLE_POOL
+
+    recycle = args.recycle
+    if recycle is None:
+        recycle = args.rollouts * 2 + 2 > RECYCLE_POOL
+    if recycle:
+        print(f"search: recycled {RECYCLE_POOL}-node VMEM pool "
+              f"(wave {args.wave}, K {args.k})")
+
     cfg = TrainLoopConfig(
         selfplay=SelfPlayConfig(
             games=args.games, workers=args.workers, komi=args.komi,
-            search=SearchConfig(num_sims=args.rollouts, wave_size=args.wave),
+            search=SearchConfig(num_sims=args.rollouts, wave_size=args.wave,
+                                max_children=args.k, recycle=recycle),
             quad_rollout_plies=args.quad_rollout_plies,
         ),
         pit=PitConfig(

@@ -228,14 +228,18 @@ class Network:
 
         return run
 
-    def _policy_targets_fn(self):
-        """chunk (list[Example]) -> [C, policy_size] normalized policy
-        targets, built ON DEVICE from the sparse (actions, visits)
+    @cached_property
+    def _build_pi(self):
+        """(padded acts [C, W], vis [C, W]) -> [C, policy_size] normalized
+        policy targets, built ON DEVICE from the sparse (actions, visits)
         pairs: the dense per-example numpy build (Example.policy_dense)
         cost ~14GB of host writes per 400k-example generation.  Padded
-        width is bucketed to a power of two so only a handful of
-        program shapes compile.  Matches policy_dense exactly (visit
-        counts are < 2^24 so the f32 sum is exact)."""
+        width is bucketed to a power of two so only a handful of program
+        shapes compile — and the jit lives on the Network (not rebuilt per
+        train() call: even a compile-cache HIT costs ~750ms through this
+        backend's tunnel, paid per generation and per width bucket).
+        Matches policy_dense exactly (visit counts are < 2^24 so the f32
+        sum is exact)."""
         An = self.engine.num_actions
         legacy = (jnp.asarray(self.engine.tables.legacy_actions)
                   if self.config.policy_head == "dense" else None)
@@ -249,19 +253,48 @@ class Network:
             pi = pi / jnp.maximum(vis.sum(-1, keepdims=True), 1.0)
             return pi if legacy is None else pi[:, legacy]
 
-        def chunk_pi(chunk):
-            C = len(chunk)
-            max_nz = max(max((len(e.actions) for e in chunk), default=1), 1)
-            width = 1 << (max_nz - 1).bit_length()
-            acts = np.zeros((C, width), np.int32)
-            vis = np.zeros((C, width), np.float32)
-            for r, e in enumerate(chunk):
-                k = len(e.actions)
-                acts[r, :k] = e.actions
-                vis[r, :k] = e.visits
-            return build_pi(jnp.asarray(acts), jnp.asarray(vis))
+        return build_pi
 
-        return chunk_pi
+    @staticmethod
+    def _prestack(examples):
+        """One pass over the epoch's examples: stacked state fields, a CSR
+        (concatenated actions/visits + offsets) policy layout, and the
+        result vector.  Per-chunk assembly then becomes pure numpy row
+        gathers — the previous per-chunk Python loops (list-building +
+        per-example padding, 800 chunks x 500 examples per 400k-example
+        generation) were serial host work on the generation critical
+        path (reference analog: network.rs:58-96 rebuilds tensors per
+        chunk too, but on-host libtorch pays no dispatch tunnel)."""
+        n_ex = len(examples)
+        keys = examples[0].state.keys()
+        states = {k: np.stack([e.state[k] for e in examples]) for k in keys}
+        lens = np.fromiter((len(e.actions) for e in examples),
+                           np.int64, n_ex)
+        off = np.zeros(n_ex + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        cat_acts = (np.concatenate([e.actions for e in examples])
+                    .astype(np.int64))
+        cat_vis = (np.concatenate([e.visits for e in examples])
+                   .astype(np.float32))
+        z = np.fromiter((e.result for e in examples), np.float32, n_ex)
+        return states, off, lens, cat_acts, cat_vis, z
+
+    def _chunk_arrays(self, pre, idx):
+        """Gather one chunk's (states, padded acts/vis, z) from the
+        prestacked epoch — vectorized numpy, no per-example Python."""
+        from ..types import GameState
+
+        states, off, lens, cat_acts, cat_vis, z = pre
+        sub = (GameState(**{k: jnp.asarray(v[idx]) for k, v in states.items()})
+               if states else None)
+        l = lens[idx]
+        width = 1 << max(int(l.max()) - 1, 0).bit_length()
+        cols = np.arange(width, dtype=np.int64)[None, :]
+        mask = cols < l[:, None]
+        pos = np.where(mask, off[idx][:, None] + cols, 0)
+        acts = np.where(mask, cat_acts[pos], 0).astype(np.int32)
+        vis = np.where(mask, cat_vis[pos], 0.0).astype(np.float32)
+        return sub, jnp.asarray(acts), jnp.asarray(vis), jnp.asarray(z[idx])
 
     def train(self, variables, examples, *, rng=None, log=print,
               chunk_size: int | None = None, chunks_in_step: int | None = None,
@@ -278,7 +311,7 @@ class Network:
         Same math, same effective batch; this is the data-parallel
         production path (SURVEY §7.6) the single-GPU reference lacks.
         """
-        from ..examples import stack_states
+        import time as _time
 
         chunk_size = chunk_size or CHUNK_SIZE
         chunks_in_step = chunks_in_step or CHUNKS_IN_STEP
@@ -299,15 +332,17 @@ class Network:
             )
 
 
-        chunk_pi = self._policy_targets_fn()
+        t0 = _time.time()
+        pre = self._prestack(examples)
         order = rng.permutation(len(examples))
         n_chunks = len(examples) // chunk_size
+        log(f"train: prestacked {len(examples)} examples in "
+            f"{_time.time() - t0:.1f}s; {n_chunks} chunks")
         for i in range(n_chunks):
             idx = order[i * chunk_size : (i + 1) * chunk_size]
-            chunk = [examples[j] for j in idx]
-            planes = self.observe_batch(stack_states(chunk))
-            pi = chunk_pi(chunk)
-            z = jnp.asarray(np.array([e.result for e in chunk], np.float32))
+            sub_states, acts, vis, z = self._chunk_arrays(pre, idx)
+            planes = self.observe_batch(sub_states)
+            pi = self._build_pi(acts, vis)
             planes, pi, z = place_batch(planes), place_batch(pi), place_batch(z)
             grad_acc, batch_stats, lp, lz = self._accum_chunk(
                 params, batch_stats, grad_acc, planes, pi, z
@@ -328,4 +363,8 @@ class Network:
             params, opt_state, grad_acc = self._apply_update(
                 params, opt_state, grad_acc
             )
+        dt = _time.time() - t0
+        if dt > 0:
+            log(f"train: {n_chunks} chunks in {dt:.1f}s "
+                f"({n_chunks * chunk_size / dt:,.0f} examples/s)")
         return {"params": params, "batch_stats": batch_stats}

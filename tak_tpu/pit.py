@@ -66,14 +66,20 @@ class PitResult:
     wins: int = 0
     losses: int = 0
     draws: int = 0
+    # games cut by the decide_threshold early exit: NOT draws (they never
+    # finished; win_rate and the gate decision ignore them either way)
+    unfinished: int = 0
 
     def win_rate(self) -> float:
         total = self.wins + self.losses
         return self.wins / total if total else 0.0
 
     def __str__(self) -> str:
-        return (f"PitResult {{ wins: {self.wins}, losses: {self.losses}, "
-                f"draws: {self.draws} }}")
+        s = (f"PitResult {{ wins: {self.wins}, losses: {self.losses}, "
+             f"draws: {self.draws}")
+        if self.unfinished:
+            s += f", unfinished: {self.unfinished}"
+        return s + " }"
 
 
 def _make_opening(engine: Engine, rng: np.random.Generator, komi: int,
@@ -266,5 +272,8 @@ def pit(engine: Engine, eval_fn, new_params, old_params,
         if ply % 20 == 0:
             log(f"pit ply {ply}: {int(done.sum())}/{B} finished {result}")
 
-    result.draws += int((~done).sum())  # max-ply stalemates count as draws
+    if not done.all() and ply >= cfg.max_plies:
+        result.draws += int((~done).sum())  # max-ply stalemates: draws
+    else:
+        result.unfinished += int((~done).sum())  # decide_threshold cut
     return result

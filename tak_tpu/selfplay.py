@@ -39,6 +39,13 @@ from .mcts.tree import root_visit_counts
 from .types import ONGOING, GameState, result_winner
 
 INSTANT_WIN_VISITS = 1000  # fake visits for winning moves (self_play.rs:131)
+# per-move readback compaction: top-K (visit, action) pairs per game.
+# Exact whenever a root has <= K visited children (6x6 legal-move counts
+# top out well under 400; overflows fall back to a dense fetch)
+SPARSE_VISITS = 512
+# training-example snapshot: the GameState fields that identify a position
+SNAPSHOT_FIELDS = ("stacks", "heights", "tops", "to_move", "ply",
+                   "stones", "caps", "half_komi", "reversible", "result")
 # default node pool for recycled searches: fits the VMEM kernel tier
 # (edge tier ~3KB/node at lane-padded K) with headroom for the engine
 # state arrays; eviction serves sim budgets far beyond the pool size
@@ -139,20 +146,6 @@ class SelfPlayActor:
         return run
 
     @cached_property
-    def _reroot_batch(self):
-        from .mcts.reuse import reroot
-
-        k = self.search_config.max_children
-
-        @jax.jit
-        def run(tree, actions, states):
-            return jax.vmap(
-                lambda t, a, s: reroot(self.engine, t, a, s, k)
-            )(tree, actions, states)
-
-        return run
-
-    @cached_property
     def _masked_tree_reset(self):
         """Blank per-game trees in place (fresh root at `states`)."""
         from .mcts.reuse import blank_trees
@@ -167,28 +160,113 @@ class SelfPlayActor:
         return jax.jit(jax.vmap(self.engine.wins_in_one))
 
     @cached_property
-    def _any_win(self):
-        """[B] bool: some legal move wins on the spot.  The full [B, A]
-        win/legal tables cost ~400ms/move to read through the tunnel;
-        this reads B bytes and the full tables are fetched only on a hit
-        (rare: one readback per finished-by-tactics game)."""
-        wins_fn = self._batched_wins
-
-        @jax.jit
-        def run(states):
-            return jnp.any(wins_fn(states), axis=-1)
-
-        return run
-
-    @cached_property
     def _batched_legal(self):
         return self.engine.batched_legal_mask
 
     @cached_property
-    def _root_visits_u16(self):
-        dtype = jnp.uint16 if self._per_move_sims <= 65535 else jnp.int32
-        return jax.jit(lambda tree: jax.vmap(root_visit_counts)(tree)
-                       .astype(dtype))
+    def _move_bundle(self):
+        """Everything after `select_moves`, fused into ONE jitted program
+        so the whole move needs a single `device_get`:
+
+          * root visit counts of the searched tree, compacted on device to
+            the top `SPARSE_VISITS` (value, action) pairs — 9036-wide u16
+            rows cost ~580KB/move through the tunnel; the sparse rows are
+            ~10x smaller and exact whenever a root has <= SPARSE_VISITS
+            visited children (`nnz` is returned so the rare overflow can
+            fall back to a dense fetch).  Values ride as exact int32 —
+            with tree reuse a carried root can exceed 65535 visits, which
+            silently wrapped the old uint16 packing.
+          * the pre-move state snapshot fields (the training example),
+          * the masked env step and (tree_reuse) the batched reroot,
+          * post-step result/ply and — instant_win_scan — the NEXT move's
+            [B] any-win flag, so the win scan costs no extra round trip
+            (self_play.rs:119-171; freshly reset boards cannot win in one
+            move at ply <= 2, so reset slots are masked off host-side).
+        """
+        cfg = self.config
+        engine = self.engine
+        fields = SNAPSHOT_FIELDS
+        kvis = min(engine.num_actions, SPARSE_VISITS)
+        step = engine.batched_step_masked
+        k = self.search_config.max_children
+        wins_fn = self._batched_wins if cfg.instant_win_scan else None
+        gumbel = self._gumbel
+        gumbel_weights = self.mcts.gumbel_policy_weights if gumbel else None
+
+        from .mcts.reuse import reroot
+
+        @jax.jit
+        def run(tree, states, actions, active):
+            if gumbel:
+                visits = jnp.round(
+                    gumbel_weights(tree) * 65535.0).astype(jnp.int32)
+            else:
+                visits = jax.vmap(root_visit_counts)(tree)  # [B, A] int32
+            # f32 top_k is exact for counts < 2^24 and avoids the integer
+            # top_k slow path on this backend (docs/ROADMAP.md dead ends)
+            vals, idx = jax.lax.top_k(visits.astype(jnp.float32), kvis)
+            nnz = jnp.sum(visits > 0, axis=-1)
+            snap = tuple(getattr(states, f) for f in fields)
+            new_states = step(states, actions, active)
+            if cfg.tree_reuse:
+                new_tree = jax.vmap(
+                    lambda t, a, s: reroot(engine, t, a, s, k)
+                )(tree, actions, new_states)
+            else:
+                new_tree = tree
+            if wins_fn is not None:
+                any_win = jnp.any(wins_fn(new_states), axis=-1)
+            else:
+                any_win = jnp.zeros_like(active)
+            return (new_tree, new_states, vals.astype(jnp.int32),
+                    idx.astype(jnp.int32), nnz, snap, new_states.result,
+                    new_states.ply, any_win, new_tree.next_free)
+
+        return run
+
+    @cached_property
+    def _dense_visits_i32(self):
+        """Fallback for the rare game whose root has more than
+        SPARSE_VISITS visited children: dense [B, A] int32 counts."""
+        if self._gumbel:
+            gw = self.mcts.gumbel_policy_weights
+            return jax.jit(
+                lambda tree: jnp.round(gw(tree) * 65535.0).astype(jnp.int32))
+        return jax.jit(
+            lambda tree: jax.vmap(root_visit_counts)(tree).astype(jnp.int32))
+
+    def _debug_check_legal(self, tree, states, actions, active, plies):
+        """Opt-in (TAK_DEBUG_LEGAL) audit: every chosen action must be
+        legal in the pre-step position; dumps the offending tree row."""
+        legal_now = np.asarray(self._batched_legal(states))
+        acts_np = np.asarray(actions)
+        viz = np.asarray(jax.vmap(root_visit_counts)(tree))
+        for i in range(len(acts_np)):
+            if active[i] and not legal_now[i, acts_np[i]]:
+                np.savez(
+                    "/tmp/tak_illegal_action.npz",
+                    game=i, action=acts_np[i], at_ply=plies[i],
+                    visits=viz[i],
+                    t_root_n=np.asarray(tree.root_n[i]),
+                    t_root_virt=np.asarray(tree.root_virt[i]),
+                    t_root_legal=np.asarray(tree.root_legal[i]),
+                    t_root_prior=np.asarray(tree.root_prior[i]),
+                    t_root_child=np.asarray(tree.root_child[i]),
+                    t_expanded0=np.asarray(tree.expanded[i, 0]),
+                    t_n0=np.asarray(tree.n0[i]),
+                    t_virt0=np.asarray(tree.virt0[i]),
+                    t_next_free=np.asarray(tree.next_free[i]),
+                    t_result0=np.asarray(tree.result[i, 0]),
+                    **{"s_" + k: np.asarray(getattr(states, k))
+                       for k in ("stacks", "heights", "tops",
+                                 "to_move", "ply", "stones", "caps",
+                                 "result")},
+                )
+                raise AssertionError(
+                    f"illegal action {acts_np[i]} chosen for game "
+                    f"{i} at ply {plies[i]} (visits sum "
+                    f"{viz[i].sum()}); dump: /tmp/tak_illegal_action.npz"
+                )
 
     def _opening_actions(self, rng: np.random.Generator, count: int):
         """Forced a1, then a far corner at random (self_play.rs:110-117)."""
@@ -252,32 +330,34 @@ class SelfPlayActor:
                 prof_t[self.name] = prof_t.get(self.name, 0.0) + (
                     time.perf_counter() - self.t0)
 
-        while active.any():
-            plies = np.asarray(states.ply)
+        # host-tracked plies and any-win flags: both are deterministic
+        # functions of the last bundled readback plus host-known resets
+        # and openings, so the steady-state loop never issues a separate
+        # read for them (each separate read costs a ~29ms tunnel RTT)
+        plies = np.zeros(B, np.int64)
+        any_win_host = np.zeros(B, bool)  # fresh boards can't win in one
 
+        while active.any():
             # play forced opening moves on fresh boards
             fresh = (plies == 0) & active
             if fresh.any():
                 first, second = self._opening_actions(rng, B)
                 states = self._masked_step(states, jnp.asarray(first), jnp.asarray(fresh))
                 states = self._masked_step(states, jnp.asarray(second), jnp.asarray(fresh))
-                plies = np.asarray(states.ply)
+                plies[fresh] += 2
 
-            # instant-win scan: read the [B] any-win flag (one ~30ms
-            # round trip), fetch the full win/legal tables only on a hit.
-            # (Dispatch-only overlap with the search was measured SLOWER:
-            # hit iterations — a large fraction, one per tactics-won
-            # game — then pay a redundant search on top of the fetch.)
+            # instant-win scan: the [B] any-win flag rides in the previous
+            # move's bundled readback (zero extra round trips); the full
+            # win/legal tables are fetched only on a hit (rare: one per
+            # tactics-won game).  (Dispatch-only overlap of the search
+            # with the scan was measured SLOWER: hit iterations — one per
+            # tactics-won game — then pay a redundant search on top.)
             reset_mask = np.zeros(B, bool)
             if cfg.instant_win_scan:
-              with _Sect("win_dispatch"):
-                any_win_dev = self._any_win(states)
               with _Sect("win_scan"):
-                any_win = np.asarray(any_win_dev) & active
+                any_win = any_win_host & active
                 if any_win.any():
-                    fields = ("stacks", "heights", "tops", "to_move",
-                              "ply", "stones", "caps", "half_komi",
-                              "reversible", "result")
+                    fields = SNAPSHOT_FIELDS
                     wins, legal, host_vals = jax.device_get((
                         self._batched_wins(states),
                         self._batched_legal(states),
@@ -299,6 +379,8 @@ class SelfPlayActor:
                         completed_by_win += 1
                         reset_mask[i] = True
                 if reset_mask.any():
+                    any_win_host[reset_mask] = False
+                    plies[reset_mask] = 0
                     if started < cfg.games:
                         started += int(reset_mask.sum())
                         states = self._masked_reset(
@@ -343,84 +425,62 @@ class SelfPlayActor:
                            and int(plies[0]) < cfg.quad_rollout_plies) else 1
             sims_done += factor * cfg.search.num_sims * int(active.sum())
 
-            # record examples: pre-move snapshot + root visit counts, or in
-            # gumbel mode the improved policy scaled to integer weights.
-            # ONE device_get round trip for everything (visits u16-packed
-            # + snapshot fields): each separate np.asarray pays the ~29ms
-            # tunnel RTT
-            fields = ("stacks", "heights", "tops", "to_move", "ply",
-                      "stones", "caps", "half_komi", "reversible", "result")
-            with _Sect("visits_readback"):
-                visits_dev = (self.mcts.gumbel_policy_weights(tree)
-                              if self._gumbel else
-                              self._root_visits_u16(tree))
-                visits_all, host_vals = jax.device_get((
-                    visits_dev,
-                    tuple(getattr(states, k) for k in fields),
-                ))
-                if self._gumbel:
-                    visits_all = np.round(visits_all * 65535.0).astype(np.int64)
-                else:
-                    visits_all = visits_all.astype(np.int64)
-                host_states = dict(zip(fields, host_vals))
-
-            for i in range(B):
-                if not active[i]:
-                    continue
-                nz = np.nonzero(visits_all[i])[0].astype(np.int32)
-                pending[i].append(Example(
-                    state={k: v[i].copy() for k, v in host_states.items()},
-                    actions=nz, visits=visits_all[i][nz].astype(np.int32),
-                ))
-
-            # play the chosen moves
             if os.environ.get("TAK_DEBUG_LEGAL"):
-                legal_now = np.asarray(self._batched_legal(states))
-                acts_np = np.asarray(actions)
-                viz = np.asarray(jax.vmap(root_visit_counts)(tree))
+                self._debug_check_legal(tree, states, actions, active, plies)
+
+            # dispatch the fused move tail (visit compaction + snapshot +
+            # step + reroot + next any-win), then ONE device_get for the
+            # whole move — every separate read pays the ~29ms tunnel RTT
+            prev_tree = tree
+            with _Sect("bundle_dispatch"):
+                (tree, new_states, sp_vals_d, sp_idx_d, nnz_d, snap_d,
+                 results_d, plies_d, any_win_d, next_free_d) = \
+                    self._move_bundle(tree, states, actions,
+                                      jnp.asarray(active))
+            with _Sect("bundle_read"):
+                (sp_vals, sp_idx, nnz, host_vals, results, new_plies,
+                 any_win_host, next_free) = jax.device_get((
+                     sp_vals_d, sp_idx_d, nnz_d, snap_d, results_d,
+                     plies_d, any_win_d, next_free_d))
+                host_states = dict(zip(SNAPSHOT_FIELDS, host_vals))
+
+            overflow = (nnz > sp_vals.shape[1]) & active
+            dense_all = None
+            if overflow.any():  # more visited children than SPARSE_VISITS
+                dense_all = np.asarray(self._dense_visits_i32(prev_tree))
+            del prev_tree
+
+            with _Sect("host_examples"):
                 for i in range(B):
-                    if active[i] and not legal_now[i, acts_np[i]]:
-                        np.savez(
-                            "/tmp/tak_illegal_action.npz",
-                            game=i, action=acts_np[i], at_ply=plies[i],
-                            visits=viz[i],
-                            t_root_n=np.asarray(tree.root_n[i]),
-                            t_root_virt=np.asarray(tree.root_virt[i]),
-                            t_root_legal=np.asarray(tree.root_legal[i]),
-                            t_root_prior=np.asarray(tree.root_prior[i]),
-                            t_root_child=np.asarray(tree.root_child[i]),
-                            t_expanded0=np.asarray(tree.expanded[i, 0]),
-                            t_n0=np.asarray(tree.n0[i]),
-                            t_virt0=np.asarray(tree.virt0[i]),
-                            t_next_free=np.asarray(tree.next_free[i]),
-                            t_result0=np.asarray(tree.result[i, 0]),
-                            **{"s_" + k: np.asarray(getattr(states, k))
-                               for k in ("stacks", "heights", "tops",
-                                         "to_move", "ply", "stones", "caps",
-                                         "result")},
-                        )
-                        raise AssertionError(
-                            f"illegal action {acts_np[i]} chosen for game "
-                            f"{i} at ply {plies[i]} (visits sum "
-                            f"{viz[i].sum()}); dump: /tmp/tak_illegal_action.npz"
-                        )
-            with _Sect("step"):
-                states = self._masked_step(states, actions,
-                                           jnp.asarray(active))
-                results = np.asarray(states.result)
-            if cfg.tree_reuse:
-                # carry each game's played subtree into the next search
-                with _Sect("reroot"):
-                    tree = self._reroot_batch(tree, actions, states)
-                if not self.search_config.recycle:
-                    # a carried subtree that nearly fills the pool would
-                    # starve the next search (a full pool backs up into n0
-                    # only, leaving root_n empty and select_moves blind) —
-                    # blank those trees instead of carrying them.  With
-                    # recycling the search evicts its own headroom.
-                    room = self.search_config.max_nodes - self._per_move_sims
-                    tree_stale |= np.asarray(tree.next_free) > room
-            new_plies = np.asarray(states.ply)
+                    if not active[i]:
+                        continue
+                    if dense_all is not None and overflow[i]:
+                        nz = np.nonzero(dense_all[i])[0].astype(np.int32)
+                        vis = dense_all[i][nz].astype(np.int32)
+                    else:
+                        got = sp_vals[i] > 0
+                        acts = sp_idx[i][got]
+                        order = np.argsort(acts)  # ascending action id
+                        nz = acts[order].astype(np.int32)
+                        vis = sp_vals[i][got][order].astype(np.int32)
+                    pending[i].append(Example(
+                        state={k: v[i].copy()
+                               for k, v in host_states.items()},
+                        actions=nz, visits=vis,
+                    ))
+
+            # the bundle already stepped the env and rerooted the trees
+            states = new_states
+            plies = np.asarray(new_plies).astype(np.int64)
+            any_win_host = np.array(any_win_host)  # writable copy
+            if cfg.tree_reuse and not self.search_config.recycle:
+                # a carried subtree that nearly fills the pool would
+                # starve the next search (a full pool backs up into n0
+                # only, leaving root_n empty and select_moves blind) —
+                # blank those trees instead of carrying them.  With
+                # recycling the search evicts its own headroom.
+                room = self.search_config.max_nodes - self._per_move_sims
+                tree_stale |= next_free > room
 
             reset_mask = np.zeros(B, bool)
             for i in range(B):
@@ -436,6 +496,8 @@ class SelfPlayActor:
                         f"({new_plies[i]} plies, result {int(results[i])})")
             if reset_mask.any():
                 tree_stale |= reset_mask
+                plies[reset_mask] = 0
+                any_win_host[reset_mask] = False
                 if started < cfg.games:
                     started += int(reset_mask.sum())
                     states = self._masked_reset(states, jnp.asarray(reset_mask))

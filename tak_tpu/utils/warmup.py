@@ -67,10 +67,12 @@ def warmup_selfplay(engine: Engine, network: Network, cfg: SelfPlayConfig,
                   lambda: actor.mcts.run_sims(variables, tree))
     acts = _timed(log, "select_moves",
                   lambda: actor.mcts.select_moves(key, tree, mask))
-    stepped = actor._masked_step(states, acts, mask)
+    # the fused move tail (visit compaction + snapshot + step + reroot +
+    # any-win): the one program the per-move readback waits on
+    bundle = _timed(log, "move_bundle",
+                    lambda: actor._move_bundle(tree, states, acts, mask))
+    tree, stepped = bundle[0], bundle[1]
     if cfg.tree_reuse:
-        tree = _timed(log, "reroot",
-                      lambda: actor._reroot_batch(tree, acts, stepped))
         _timed(log, "tree_reset",
                lambda: actor._masked_tree_reset(tree, stepped, mask))
     _timed(log, "env_reset", lambda: actor._masked_reset(stepped, mask))

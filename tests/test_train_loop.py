@@ -73,7 +73,8 @@ def test_buffer_save_load_roundtrip(tmp_path):
 
 def test_policy_targets_match_policy_dense():
     """Device-built sparse policy targets == Example.policy_dense, both
-    policy heads (network.py _policy_targets_fn)."""
+    policy heads, through the prestacked CSR chunk path
+    (network.py _prestack/_chunk_arrays/_build_pi)."""
     import numpy as np
 
     from tak_tpu.engine.core import get_engine
@@ -94,7 +95,11 @@ def test_policy_targets_match_policy_dense():
     for head in ("conv", "dense"):
         net = Network(engine, NetConfig(n=5, filters=16, blocks=1,
                                         policy_head=head))
-        got = np.asarray(net._policy_targets_fn()(chunk))
+        pre = net._prestack(chunk)
+        # gather in a shuffled order to exercise the CSR row gather
+        idx = np.array([3, 0, 6, 2, 5, 1, 4])
+        _, acts, vis, z = net._chunk_arrays(pre, idx)
+        got = np.asarray(net._build_pi(acts, vis))[np.argsort(idx)]
         if head == "dense":
             legacy = np.asarray(engine.tables.legacy_actions)
             want = np.stack([

@@ -87,20 +87,15 @@ for rep in range(REPS + 1):
                  sync=lambda t: t.n0)
     actions = timed("select_moves", mcts.select_moves, k2, tree,
                     jnp.ones(B, bool))
+    # the fused move tail: visit compaction + snapshot + step + reroot +
+    # next-move any-win, ONE device_get for everything (selfplay.py)
     t0 = time.perf_counter()
-    visits = np.asarray(jax.vmap(root_visit_counts)(tree))
-    host = {k: np.asarray(getattr(states, k))
-            for k in ("stacks", "heights", "tops", "to_move", "ply",
-                      "stones", "caps", "half_komi", "reversible", "result")}
-    phases.setdefault("example_readbacks", []).append(time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    wins = np.asarray(actor._batched_wins(states))
-    legal = np.asarray(actor._batched_legal(states))
-    phases.setdefault("instant_win_scan", []).append(time.perf_counter() - t0)
-    new_states = timed("step", actor._masked_step, states, actions,
-                       jnp.ones(B, bool), sync=lambda s: s.ply)
-    tree = timed("reroot", actor._reroot_batch, tree, actions, new_states,
-                 sync=lambda t: t.next_free)
+    (tree, new_states, sp_vals_d, sp_idx_d, nnz_d, snap_d, results_d,
+     plies_d, any_win_d, next_free_d) = actor._move_bundle(
+        tree, states, actions, jnp.ones(B, bool))
+    got = jax.device_get((sp_vals_d, sp_idx_d, nnz_d, snap_d, results_d,
+                          plies_d, any_win_d, next_free_d))
+    phases.setdefault("move_bundle", []).append(time.perf_counter() - t0)
 
 total = 0.0
 for name, ts in phases.items():

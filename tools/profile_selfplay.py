@@ -78,7 +78,9 @@ actor.mcts.__dict__["run_sims"] = counting_run_sims
 
 t0 = time.perf_counter()
 try:
-    actor.run(variables, seed=0, log=lambda *a, **k: None)
+    actor.run(variables, seed=0,
+              log=print if os.environ.get("TAK_PROFILE_MOVES")
+              else lambda *a, **k: None)
 except StopAfter:
     pass
 dt = time.perf_counter() - t_after_warm
