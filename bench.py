@@ -43,8 +43,14 @@ MCTS_K = int(os.environ.get("BENCH_MCTS_K", 32))
 # sees.  BENCH_SP=0 skips it.
 SP_ENABLE = os.environ.get("BENCH_SP", "1") == "1"
 SP_WORKERS = int(os.environ.get("BENCH_SP_WORKERS", 32))
-SP_SIMS = int(os.environ.get("BENCH_SP_SIMS", 10_000))
+SP_SIMS = int(os.environ.get("BENCH_SP_SIMS", 10_240))
 SP_MOVES = int(os.environ.get("BENCH_SP_MOVES", 2))
+# wave 256 is the measured throughput peak of the sustained e2e curve
+# (40.0k/42.3k/44.9k/56.0k/75.0k/5.5k at waves 16..512, docs/ROADMAP.md)
+# and passed the strength guardrail: wave-256 pit vs wave-16 at equal
+# 1024-sim budgets scored 10-11-43 (win_rate 0.476, CI +-0.21 — no
+# measurable loss; wave 32 vs 16 scored 0.579), runs/strength_ab_r4.jsonl
+SP_WAVE = int(os.environ.get("BENCH_SP_WAVE", 256))
 
 
 def bench_env(engine):
@@ -167,8 +173,8 @@ def bench_selfplay(engine):
     cfg = SelfPlayConfig(
         games=10_000_000,  # stopped by move count below
         workers=SP_WORKERS,
-        search=SearchConfig(num_sims=SP_SIMS, wave_size=16, max_children=32,
-                            recycle=True),
+        search=SearchConfig(num_sims=SP_SIMS, wave_size=SP_WAVE,
+                            max_children=32, recycle=True),
     )
     actor = SelfPlayActor(engine, lambda p, s: net.policy_eval_states(p, s),
                           cfg)
@@ -228,6 +234,7 @@ def main():
         extras["selfplay_sims_per_s"] = round(sp_rate)
         extras["selfplay_config"] = {
             "workers": SP_WORKERS, "rollouts": SP_SIMS, "recycle": True,
+            "wave": SP_WAVE,
         }
     print(json.dumps({
         "metric": f"mcts_sims_per_s_{N}x{N}",

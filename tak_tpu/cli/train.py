@@ -29,7 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--games", type=int, default=1000, help="self-play games/gen")
     p.add_argument("--workers", type=int, default=32, help="lockstep games")
     p.add_argument("--rollouts", type=int, default=10_000, help="sims per move")
-    p.add_argument("--wave", type=int, default=16, help="descents per NN batch")
+    p.add_argument("--wave", type=int, default=32,
+                   help="descents per NN batch (32 cleared the strength "
+                        "A/B vs 16 at equal budgets: 0.579 win rate, "
+                        "runs/strength_ab_r4.jsonl; 256 is the throughput "
+                        "peak for deep rollouts)")
     p.add_argument("--k", "--max-children", type=int, default=32, dest="k",
                    help="stored children per non-root node (quality-neutral "
                         "down to 32 at production budgets; docs/ROADMAP.md)")

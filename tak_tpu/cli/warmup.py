@@ -21,7 +21,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--komi", type=int, default=2)
     p.add_argument("--workers", type=int, default=32)
     p.add_argument("--rollouts", type=int, default=10_000)
-    p.add_argument("--wave", type=int, default=8)
+    p.add_argument("--wave", type=int, default=16)
+    p.add_argument("--k", "--max-children", type=int, default=32, dest="k")
+    p.add_argument("--recycle", dest="recycle", action="store_true",
+                   default=None, help="default: auto, matching cli/train.py")
+    p.add_argument("--no-recycle", dest="recycle", action="store_false")
     p.add_argument("--pit-games", type=int, default=128)
     p.add_argument("--pit-rollouts", type=int, default=800)
     p.add_argument("--no-pit", action="store_true")
@@ -57,9 +61,15 @@ def main(argv=None):
     )
     network = Network(engine, NetConfig(n=args.size, filters=args.filters,
                                         blocks=blocks))
+    from ..selfplay import RECYCLE_POOL
+
+    recycle = args.recycle
+    if recycle is None:  # same auto rule as cli/train.py
+        recycle = args.rollouts * 2 + 2 > RECYCLE_POOL
     sp = SelfPlayConfig(
         workers=args.workers, komi=args.komi,
-        search=SearchConfig(num_sims=args.rollouts, wave_size=args.wave),
+        search=SearchConfig(num_sims=args.rollouts, wave_size=args.wave,
+                            max_children=args.k, recycle=recycle),
     )
     pit = None if args.no_pit else PitConfig(
         games=args.pit_games, komi=args.komi,

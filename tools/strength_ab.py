@@ -38,7 +38,13 @@ jax.config.update("jax_default_prng_impl", "rbg")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="recycle",
-                    choices=["recycle", "wave", "wave1"])
+                    choices=["recycle", "wave", "wave1", "waves"])
+    ap.add_argument("--wave-a", type=int, default=32,
+                    help="preset=waves: wave size for side A")
+    ap.add_argument("--wave-b", type=int, default=16,
+                    help="preset=waves: wave size for side B")
+    ap.add_argument("--json-out", default=None,
+                    help="append one JSON result line to this file")
     ap.add_argument("--games", type=int, default=32)
     ap.add_argument("--sims", type=int, default=2000)
     ap.add_argument("--sims-b", type=int, default=None,
@@ -79,6 +85,9 @@ def main():
     elif args.preset == "wave":
         a = SearchConfig(num_sims=args.sims, wave_size=32, **rec)
         b = SearchConfig(num_sims=sims_b, wave_size=16, **rec)
+    elif args.preset == "waves":
+        a = SearchConfig(num_sims=args.sims, wave_size=args.wave_a, **rec)
+        b = SearchConfig(num_sims=sims_b, wave_size=args.wave_b, **rec)
     else:  # wave1
         a = SearchConfig(num_sims=args.sims, wave_size=16, **rec)
         b = SearchConfig(num_sims=sims_b, wave_size=1, **rec)
@@ -94,6 +103,21 @@ def main():
           f"({dt:.0f}s):")
     print(f"  A (changed) vs B: {res}  win_rate={res.win_rate():.3f}"
           f"  (n={n} decisive)")
+    if args.json_out:
+        import json
+
+        rec_line = {
+            "preset": args.preset, "size": args.size, "sims": args.sims,
+            "sims_b": sims_b, "games": args.games, "seed": args.seed,
+            "model": args.model, "max_plies": args.max_plies,
+            "wins": res.wins, "losses": res.losses, "draws": res.draws,
+            "unfinished": res.unfinished, "win_rate": res.win_rate(),
+            "seconds": round(dt),
+        }
+        if args.preset == "waves":
+            rec_line["wave_a"], rec_line["wave_b"] = args.wave_a, args.wave_b
+        with open(args.json_out, "a") as f:
+            f.write(json.dumps(rec_line) + "\n")
 
 
 if __name__ == "__main__":
