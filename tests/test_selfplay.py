@@ -78,6 +78,38 @@ def test_quad_rollout_sequential(engine):
         )
 
 
+def test_sparse_visits_overflow_fallback(engine, monkeypatch):
+    """When a root has more visited children than the SPARSE_VISITS
+    top-K readback cap, the loop falls back to a dense fetch — examples
+    must be identical to an uncapped run (same seed, same searches)."""
+    import tak_tpu.selfplay as sp
+
+    cfg = dict(
+        games=2, workers=2, komi=0,
+        search=SearchConfig(num_sims=48, wave_size=4, max_children=32),
+        noise_plies=10, exploit_plies=6,
+    )
+    ref_actor = SelfPlayActor(engine, dummy_eval(engine),
+                              SelfPlayConfig(**cfg))
+    ref = ref_actor.run(None, seed=9, log=lambda m: None)
+
+    # cap far below a 3x3 root's visited-children count (~10+ under
+    # uniform priors at 48 sims) so most moves take the fallback path
+    monkeypatch.setattr(sp, "SPARSE_VISITS", 4)
+    capped_actor = SelfPlayActor(engine, dummy_eval(engine),
+                                 SelfPlayConfig(**cfg))
+    capped = capped_actor.run(None, seed=9, log=lambda m: None)
+
+    assert len(ref) == len(capped)
+    hit_fallback = False
+    for a, b in zip(ref, capped):
+        assert np.array_equal(a.actions, b.actions)
+        assert np.array_equal(a.visits, b.visits)
+        assert a.result == b.result
+        hit_fallback |= len(a.actions) > 4
+    assert hit_fallback, "cap never exceeded; test lost its teeth"
+
+
 def test_masked_step_freezes(engine):
     states = engine.initial_batch(4, 0)
     acts = jnp.zeros(4, jnp.int32)
