@@ -41,21 +41,33 @@ class Player:
         *,
         wave_size: int = 64,
         max_children: int = 128,
-        # fits the HBM fused-kernel tier (pallas_hbm.MAX_HBM_NODES) while
-        # comfortably covering the 50k-rollout ponder cap
-        # (playtak/src/main.rs:32) plus a carried reuse subtree
-        node_budget: int = 131_072,
+        # default fits the HBM fused-kernel tier (pallas_hbm.MAX_HBM_NODES)
+        # while comfortably covering the 50k-rollout ponder cap
+        # (playtak/src/main.rs:32) plus a carried reuse subtree; with
+        # `recycle` the default drops to the bounded VMEM pool instead
+        node_budget: int | None = None,
+        # recycled VMEM tier for pondering: a bounded pool with cold-leaf
+        # eviction serves any rollout count at fused-kernel speed (3-6x
+        # the HBM tier's sims/s) at the cost of bounded-pool truncation —
+        # the strength tradeoff measured in runs/strength_ab_r4.jsonl
+        # (equal sims: 0.415; the speed advantage flips it at equal time)
+        recycle: bool = False,
         save_examples: bool = False,
         create_analysis: bool = False,
     ):
         self.engine = engine
         self.params = params
         self.game = game.clone()
+        if node_budget is None:
+            node_budget = 1280 if recycle else 131_072
+        if recycle:
+            max_children = min(max_children, 32)  # VMEM-tier edge width
         cfg = SearchConfig(
             num_sims=wave_size,
             wave_size=wave_size,
             max_children=max_children,
             node_budget=node_budget,
+            recycle=recycle,
         )
         self.mcts = MCTS(engine, eval_fn, cfg)
         from .mcts.reuse import reroot
@@ -152,8 +164,12 @@ class Player:
             self._root_prepared = False
             # a carried subtree that nearly fills the node pool would
             # starve subsequent searches (full-pool descents back up into
-            # n0 only); drop the tree and restart fresh instead
-            if int(self.tree.next_free[0]) > self.mcts.config.max_nodes // 2:
+            # n0 only); drop the tree and restart fresh instead.  A
+            # recycling search evicts its own headroom, so it keeps any
+            # carried subtree.
+            if (not self.mcts.config.recycle
+                    and int(self.tree.next_free[0])
+                    > self.mcts.config.max_nodes // 2):
                 self.tree = None
 
     # -- results -------------------------------------------------------------

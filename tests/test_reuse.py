@@ -155,3 +155,25 @@ def test_player_drops_oversized_carried_tree():
     player._reroot = orig
     player.rollout()
     assert int(player.tree.n0[0]) > 0
+
+
+def test_player_recycled_ponder_tier():
+    """Player(recycle=True): bounded VMEM pool serves rollouts past its
+    size via eviction, keeps carried subtrees (no oversize blank), and
+    still finds the win-in-2 defense (tests.rs:52-72 semantics)."""
+    engine = get_engine(3)
+    g = Game.from_ptn_moves(3, ["a3", "c3", "c2"])
+    player = Player(engine, dummy_eval(engine), None, g,
+                    wave_size=8, node_budget=128, recycle=True)
+    assert player.mcts.config.recycle
+    for _ in range(80):  # 640 sims through a 128-node pool
+        player.rollout()
+    assert int(player.tree.next_free[0]) <= 128
+    mv = player.pick_move(True)
+    player.play_move(mv)
+    # recycling searches evict their own headroom: carried tree kept
+    assert player.tree is not None
+    for _ in range(80):
+        player.rollout()
+    player.play_move(player.pick_move(True))
+    assert player.game.result == ONGOING
