@@ -599,7 +599,15 @@ class Engine:
         (states [B]) -> wins [B, A] bool.  Steps every (game, action)
         pair in ONE kernel launch (illegal pairs ride the kernel's freeze
         path), ~50x cheaper than vmapping the XLA step over B*A pairs.
-        Same semantics as `wins_in_one` (self_play.rs:119-137 parity)."""
+        Same semantics as `wins_in_one` (self_play.rs:119-137 parity).
+
+        Memory scales with B*A probe rows (~1.6KB/row at 8x8): fine for
+        self-play B=32 on 6x6 (~0.5GB) and the playtak bot's B=1 on any
+        size, but B=128 on the 65k-action 8x8 space is a 25GB program —
+        keep B small on big boards (compiled parity + the limit are
+        recorded in runs/parity78_compiled_r4.json /
+        tools/parity_78_compiled.py).  `block_g` blocks the flattened
+        row axis and must stay a multiple of 128 (Mosaic lane rule)."""
         from ..types import result_winner
         from .pallas_env import build_fused_step
 

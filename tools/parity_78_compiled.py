@@ -159,11 +159,59 @@ def main():
               f"step+legal parity ({ROUNDS} rounds) "
               f"[{time.perf_counter() - t0:.0f}s]")
 
-        # 3) fused win-in-one scan (the playtak bot path) vs XLA
+        # 3) fused win-in-one scan (the playtak bot path).  The one-shot
+        # XLA oracle (vmap(wins_in_one): B x A candidate steps in one
+        # program) exhausts HBM at B=128 and crashes the tunneled
+        # compile service outright on the 65k-action 8x8 space, so the
+        # oracle here is built from engine.batched_step — the SAME small
+        # XLA program checks 1-2 already validated — in action chunks:
+        # win iff stepping the action gives the mover the win.
+        # The fused scan materializes B x A probes in one launch —
+        # 128 games x 65k actions is a 25GB program on 8x8, far past
+        # HBM.  Its deployment shape is the playtak bot's B=1 per-move
+        # scan (playtak/bot.py), so parity runs at a bot-sized batch.
+        # The scan flattens to B*A probe rows and blocks THAT axis by
+        # block_g (which must stay 128 — Mosaic lane rule); memory
+        # scales with B*A rows, so the game batch is what must stay
+        # small on the 65k-action 8x8 space (the deployment shape is
+        # the playtak bot's B=1 per-move scan, ~105MB there).
         t0 = time.perf_counter()
-        wins_fused = engine.wins_in_one_fused_fn(block_g=B)
-        ref_w = np.asarray(jax.vmap(engine.wins_in_one)(states))
-        got_w = np.asarray(wins_fused(states))
+        G = 2
+        BW = 8
+        sub = jax.tree.map(lambda x: x[:G], states)
+        pad = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x] * (BW // G), axis=0), sub)  # BW games -> BW*A rows
+        wins_fused = engine.wins_in_one_fused_fn()
+        got_w = np.asarray(wins_fused(pad))[:G]
+
+        A = engine.num_actions
+        legal = np.asarray(jax.vmap(engine.legal_mask)(sub))
+        to_move = np.asarray(sub.to_move)
+        ref_w = np.zeros((G, A), bool)
+        # small probe batches: the 8x8 step program peaks ~200MB per 128
+        # rows; big row counts exhaust the 16G HBM
+        CH = 256
+
+        @jax.jit
+        def probe(st, acts):
+            out = engine.batched_step(st, acts)
+            return out.result
+
+        for lo in range(0, A, CH):
+            acts = np.arange(lo, min(lo + CH, A), dtype=np.int32)
+            n_a = len(acts)
+            rep = jax.tree.map(
+                lambda x: jnp.repeat(x, n_a, axis=0), sub)
+            aa = jnp.asarray(np.tile(acts, G))
+            res = np.asarray(probe(rep, aa)).reshape(G, n_a)
+            for g in range(G):
+                from tak_tpu.types import result_winner
+
+                for j, a in enumerate(acts):
+                    if legal[g, a] and int(res[g, j]) != 0:
+                        w = int(result_winner(np.int32(res[g, j])))
+                        ref_w[g, a] = (w == int(to_move[g]))
         ok = bool(np.array_equal(ref_w, got_w))
         results[f"{n}_wins"] = ok
         print(f"{'PASS' if ok else 'FAIL'} n={n} compiled wins_in_one "
