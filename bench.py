@@ -190,9 +190,14 @@ def bench_selfplay(engine):
         out = orig(params, tree)
         jax.device_get(out.n0[0])
         state["moves"] += 1
-        if state["moves"] == 1:
+        # timing starts after move 2: move 1 compiles the search
+        # programs, and the move-1 BUNDLE (step+reroot+readback tail)
+        # compiles between move 1's and move 2's searches — starting at
+        # move 1 would put that compile inside the timed window on a
+        # cold cache
+        if state["moves"] == 2:
             state["t_warm"] = time.perf_counter()
-        if state["moves"] >= SP_MOVES + 1:
+        if state["moves"] >= SP_MOVES + 2:
             state["t_end"] = time.perf_counter()
             raise StopAfter
         return out
