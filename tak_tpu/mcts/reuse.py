@@ -137,7 +137,8 @@ def _reach_closure_reference(tree: Tree, c0i, has_subtree):
     return reach
 
 
-def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tree:
+def reroot(engine, tree: Tree, action, new_root_state, max_children: int,
+           keep: int | None = None) -> Tree:
     """Single-game re-root of `tree` onto root action `action`.
 
     `new_root_state` is the played position (unbatched GameState); it is
@@ -145,6 +146,15 @@ def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tre
     materialized the result degrades to a fresh tree at that position.
     `prepare_root` must still run afterwards (it re-evaluates the
     full-width root prior; the kept edges only stored K of them).
+
+    `keep` (recycled pools): compact the carry to at most `keep` nodes
+    by DROPPING the coldest childless carried nodes — the same loss
+    class as in-search eviction (parent edges keep every backed-up
+    visit/value; only the victims' cached states/priors go), applied at
+    reroot time so sustained searches start with pool headroom instead
+    of evicting from wave 1.  Parents of dropped nodes get their
+    edge_child pointer cleared by the compaction remap itself;
+    child_count is recounted afterwards.
     """
     M = tree.result.shape[0]
     A = tree.root_prior.shape[0]
@@ -154,6 +164,18 @@ def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tre
     has_subtree = c0 != NONE
     c0i = jnp.maximum(c0, 0)
     reach = _reach_doubling(tree, c0i, has_subtree)
+
+    if keep is not None:
+        idx = jnp.arange(M, dtype=jnp.int32)
+        cand = reach & (tree.child_count == 0) & (idx != c0i)
+        INF = jnp.int32(2**30)
+        score = jnp.where(cand, tree.node_n, INF)
+        order = jnp.argsort(score, stable=True)  # ties -> lowest index
+        rank = jnp.zeros(M, jnp.int32).at[order].set(idx)
+        excess = jnp.maximum(
+            jnp.sum(reach.astype(jnp.int32)) - jnp.int32(keep), 0
+        )
+        reach = reach & ~(cand & (rank < excess))
 
     # --- compaction permutation: new_id = rank among reachable ----------
     ranks = jnp.cumsum(reach.astype(jnp.int32)) - 1
@@ -242,4 +264,15 @@ def reroot(engine, tree: Tree, action, new_root_state, max_children: int) -> Tre
     # clear edge rows of node 0 beyond... they are the subtree's rows and
     # stay valid for continuation display; selection goes through the
     # dense root tier.
+    if keep is not None:
+        # dropped children were remapped to NONE above; recount so
+        # newly-childless parents become eviction candidates (only
+        # EXPANDED rows carry live pointers — recycled slots keep stale
+        # rows until the next expansion rewrites them)
+        counts = jnp.sum(new_tree.edge_child != NONE, axis=-1).astype(
+            jnp.int32
+        )
+        new_tree = new_tree.replace(
+            child_count=jnp.where(new_tree.expanded, counts, 0)
+        )
     return new_tree

@@ -95,6 +95,13 @@ class SearchConfig:
     # Set node_budget explicitly when enabling.  Not available on the
     # pallas_hbm backend.
     recycle: bool = False
+    # reroot-time carry compaction (recycled pools): keep at most this
+    # many carried nodes when re-rooting between moves, dropping the
+    # coldest childless ones (lossless for backed-up edge statistics —
+    # see mcts/reuse.reroot).  None = carry everything reachable.
+    # Sustained deep searches otherwise start each move with a FULL
+    # pool and evict from wave 1.
+    reroot_keep: int | None = None
     # run the wave scan in chunks of ~this many sims per jitted call
     # (rounded up to whole waves), looping on the persistent tree until
     # num_sims is reached.  Bit-identical to one long scan (the chunk

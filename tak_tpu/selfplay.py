@@ -189,6 +189,7 @@ class SelfPlayActor:
         kvis = min(engine.num_actions, SPARSE_VISITS)
         step = engine.batched_step_masked
         k = self.search_config.max_children
+        keep = self.search_config.reroot_keep
         wins_fn = self._batched_wins if cfg.instant_win_scan else None
         gumbel = self._gumbel
         gumbel_weights = self.mcts.gumbel_policy_weights if gumbel else None
@@ -210,7 +211,7 @@ class SelfPlayActor:
             new_states = step(states, actions, active)
             if cfg.tree_reuse:
                 new_tree = jax.vmap(
-                    lambda t, a, s: reroot(engine, t, a, s, k)
+                    lambda t, a, s: reroot(engine, t, a, s, k, keep=keep)
                 )(tree, actions, new_states)
             else:
                 new_tree = tree

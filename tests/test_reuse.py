@@ -177,3 +177,71 @@ def test_player_recycled_ponder_tier():
         player.rollout()
     player.play_move(player.pick_move(True))
     assert player.game.result == ONGOING
+
+
+def test_reroot_keep_compacts_carry_losslessly():
+    """reroot(keep=k): the carried subtree is capped at k nodes by
+    dropping the coldest CHILDLESS nodes; every backed-up statistic the
+    uncapped reroot exposes at the root tier survives (aggregates live
+    on parent edges), and dropped children just show child=NONE."""
+    engine = get_engine(3)
+    cfg = SearchConfig(num_sims=128, wave_size=4, max_children=32,
+                       node_budget=512)
+    mcts = MCTS(engine, dummy_eval(engine), cfg)
+    g = Game.from_ptn_moves(3, ["a1", "c3"])
+    states = jax.tree.map(lambda x: x[None], g.state)
+    tree = mcts.init_batch(states)
+    tree = mcts.prepare_root(None, tree)
+    tree = mcts.run_sims(None, tree)
+
+    visits = np.asarray(jax.vmap(root_visit_counts)(tree))[0]
+    action = int(visits.argmax())
+    g2 = g.clone()
+    g2.play_action(action, check=False)
+    new_states = jax.tree.map(lambda x: x[None], g2.state)
+
+    full = jax.vmap(
+        lambda t, a, s: reroot(engine, t, a, s, cfg.max_children)
+    )(tree, jnp.array([action]), new_states)
+    n_full = int(full.next_free[0])
+    keep = max(2, n_full // 2)
+    capped = jax.vmap(
+        lambda t, a, s: reroot(engine, t, a, s, cfg.max_children,
+                               keep=keep)
+    )(tree, jnp.array([action]), new_states)
+
+    assert int(capped.next_free[0]) <= keep < n_full
+    # root-tier aggregates identical: n0 and per-action visit/value sums
+    assert int(capped.n0[0]) == int(full.n0[0])
+    np.testing.assert_array_equal(np.asarray(capped.root_n[0]),
+                                  np.asarray(full.root_n[0]))
+    np.testing.assert_allclose(np.asarray(capped.root_w[0]),
+                               np.asarray(full.root_w[0]), rtol=1e-6)
+    # child_count is consistent with the compacted edge rows
+    ec = np.asarray(capped.edge_child[0])
+    cc = np.asarray(capped.child_count[0])
+    exp = np.asarray(capped.expanded[0])
+    want = np.where(exp, (ec != NONE).sum(-1), 0)
+    np.testing.assert_array_equal(cc, want)
+    # and the capped tree still searches (prepare_root then sims)
+    capped = mcts.prepare_root(None, capped)
+    capped = mcts.run_sims(None, capped)
+    assert int(np.asarray(jax.vmap(root_visit_counts)(capped)).sum()) > 0
+
+
+def test_selfplay_with_reroot_keep(engine=None):
+    """Full self-play loop with recycled pool + reroot carry cap."""
+    from tak_tpu.selfplay import SelfPlayActor, SelfPlayConfig
+
+    eng = get_engine(3)
+    cfg = SelfPlayConfig(
+        games=2, workers=2, komi=0,
+        search=SearchConfig(num_sims=64, wave_size=4, max_children=16,
+                            recycle=True, node_budget=96, reroot_keep=48),
+        noise_plies=8, exploit_plies=4,
+    )
+    actor = SelfPlayActor(eng, dummy_eval(eng), cfg)
+    examples = actor.run(None, seed=13, log=lambda m: None)
+    assert examples
+    for ex in examples:
+        assert ex.visits.sum() > 0

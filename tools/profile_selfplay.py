@@ -36,6 +36,7 @@ WAVE = int(os.environ.get("SP_WAVE", 16))
 K = int(os.environ.get("SP_K", 128))
 RECYCLE = os.environ.get("SP_RECYCLE", "0") == "1"
 BUDGET = int(os.environ.get("SP_BUDGET", 0)) or None
+KEEP = int(os.environ.get("SP_KEEP", 0)) or None  # reroot carry cap
 
 engine = get_engine(N)
 net = Network(engine)
@@ -44,7 +45,8 @@ cfg = SelfPlayConfig(
     games=10_000_000,  # never finishes; we stop by move count
     workers=WORKERS,
     search=SearchConfig(num_sims=SIMS, wave_size=WAVE, max_children=K,
-                        recycle=RECYCLE, node_budget=BUDGET),
+                        recycle=RECYCLE, node_budget=BUDGET,
+                        reroot_keep=KEEP),
 )
 actor = SelfPlayActor(engine, lambda p, s: net.policy_eval_states(p, s), cfg)
 print(f"workers={WORKERS} sims={SIMS} wave={WAVE} k={K} "
