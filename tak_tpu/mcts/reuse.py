@@ -152,9 +152,13 @@ def reroot(engine, tree: Tree, action, new_root_state, max_children: int,
     class as in-search eviction (parent edges keep every backed-up
     visit/value; only the victims' cached states/priors go), applied at
     reroot time so sustained searches start with pool headroom instead
-    of evicting from wave 1.  Parents of dropped nodes get their
+    of evicting from wave 1.  The drop iterates until the excess is
+    gone (each pass creates newly-childless parents, so deep-chain
+    carries need several passes) — the cap is exact except that the new
+    root itself is never dropped.  Parents of dropped nodes get their
     edge_child pointer cleared by the compaction remap itself;
-    child_count is recounted afterwards.
+    child_count is recounted afterwards (in both keep and non-keep
+    paths, so the invariant does not depend on `keep`).
     """
     M = tree.result.shape[0]
     A = tree.root_prior.shape[0]
@@ -167,15 +171,34 @@ def reroot(engine, tree: Tree, action, new_root_state, max_children: int,
 
     if keep is not None:
         idx = jnp.arange(M, dtype=jnp.int32)
-        cand = reach & (tree.child_count == 0) & (idx != c0i)
         INF = jnp.int32(2**30)
-        score = jnp.where(cand, tree.node_n, INF)
-        order = jnp.argsort(score, stable=True)  # ties -> lowest index
-        rank = jnp.zeros(M, jnp.int32).at[order].set(idx)
-        excess = jnp.maximum(
-            jnp.sum(reach.astype(jnp.int32)) - jnp.int32(keep), 0
+        ecl = jnp.maximum(tree.edge_child, 0)
+        edge_ok = (tree.edge_child != NONE) & tree.expanded[:, None]
+
+        def _excess(reach):
+            return jnp.maximum(
+                jnp.sum(reach.astype(jnp.int32)) - jnp.int32(keep), 0
+            )
+
+        def _cond(carry):
+            reach, progressed = carry
+            return (_excess(reach) > 0) & progressed
+
+        def _drop_pass(carry):
+            reach, _ = carry
+            # live-children count restricted to the surviving carry:
+            # dropping a node makes its parent a candidate next pass
+            cc = jnp.sum(edge_ok & reach[ecl], axis=-1).astype(jnp.int32)
+            cand = reach & (cc == 0) & (idx != c0i)
+            score = jnp.where(cand, tree.node_n, INF)
+            order = jnp.argsort(score, stable=True)  # ties -> lowest idx
+            rank = jnp.zeros(M, jnp.int32).at[order].set(idx)
+            new_reach = reach & ~(cand & (rank < _excess(reach)))
+            return new_reach, jnp.any(new_reach != reach)
+
+        reach, _ = jax.lax.while_loop(
+            _cond, _drop_pass, (reach, jnp.bool_(True))
         )
-        reach = reach & ~(cand & (rank < excess))
 
     # --- compaction permutation: new_id = rank among reachable ----------
     ranks = jnp.cumsum(reach.astype(jnp.int32)) - 1
@@ -264,15 +287,16 @@ def reroot(engine, tree: Tree, action, new_root_state, max_children: int,
     # clear edge rows of node 0 beyond... they are the subtree's rows and
     # stay valid for continuation display; selection goes through the
     # dense root tier.
-    if keep is not None:
-        # dropped children were remapped to NONE above; recount so
-        # newly-childless parents become eviction candidates (only
-        # EXPANDED rows carry live pointers — recycled slots keep stale
-        # rows until the next expansion rewrites them)
-        counts = jnp.sum(new_tree.edge_child != NONE, axis=-1).astype(
-            jnp.int32
-        )
-        new_tree = new_tree.replace(
-            child_count=jnp.where(new_tree.expanded, counts, 0)
-        )
+    #
+    # Recount child_count from the remapped edge rows in BOTH paths:
+    # with `keep`, dropped children were remapped to NONE above, so
+    # newly-childless parents become eviction candidates; without it the
+    # recount is an identity on live rows.  Only EXPANDED rows carry
+    # live pointers (recycled slots keep stale rows until the next
+    # expansion rewrites them), and node 0 is marked unexpanded above so
+    # both paths agree on child_count[0] == 0.
+    counts = jnp.sum(new_tree.edge_child != NONE, axis=-1).astype(jnp.int32)
+    new_tree = new_tree.replace(
+        child_count=jnp.where(new_tree.expanded, counts, 0)
+    )
     return new_tree

@@ -313,6 +313,8 @@ class Network:
         """
         import time as _time
 
+        if len(examples) == 0:  # tolerate empty input (no-op, ref parity)
+            return variables
         chunk_size = chunk_size or CHUNK_SIZE
         chunks_in_step = chunks_in_step or CHUNKS_IN_STEP
         rng = rng or np.random.default_rng()

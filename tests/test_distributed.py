@@ -23,9 +23,12 @@ def test_two_process_distributed_train_matches_single():
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device counts
     env["DIST_TEST_PORT"] = "12931"  # avoid clashing with manual runs
+    # outer timeout must exceed the launcher's internal worst case (600s
+    # per-worker wait + 600s single-process reference run) so a slow
+    # machine fails with a clean assertion, not TimeoutExpired
     out = subprocess.run(
         [sys.executable, script], cwd=REPO, env=env,
-        capture_output=True, text=True, timeout=580,
+        capture_output=True, text=True, timeout=1500,
     )
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     assert "OK: 2-process jax.distributed train == single-process" in out.stdout

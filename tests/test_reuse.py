@@ -245,3 +245,59 @@ def test_selfplay_with_reroot_keep(engine=None):
     assert examples
     for ex in examples:
         assert ex.visits.sum() > 0
+
+
+def test_reroot_keep_hard_cap_on_chain_carry():
+    """`keep` is a HARD cap even for chain-shaped carries.
+
+    A near-delta prior with wave 1 makes every sim descend the same
+    line, so the carried subtree is one deep chain with a single
+    childless tip — the shape where a one-pass drop (only currently-
+    childless nodes) would leave next_free far above `keep`.  The
+    iterated drop must converge to <= keep."""
+    engine = get_engine(3)
+    A = engine.num_actions
+    key = jax.random.PRNGKey(7)
+    peaked = jax.nn.softmax(jax.random.uniform(key, (A,)) * 60.0)
+
+    def eval_fn(params, states):
+        b = states.ply.shape[0]
+        return jnp.broadcast_to(peaked, (b, A)), jnp.zeros(b, jnp.float32)
+
+    cfg = SearchConfig(num_sims=48, wave_size=1, max_children=8,
+                       node_budget=256)
+    mcts = MCTS(engine, eval_fn, cfg)
+    g = Game.from_ptn_moves(3, ["a1", "c3"])
+    states = jax.tree.map(lambda x: x[None], g.state)
+    tree = mcts.init_batch(states)
+    tree = mcts.prepare_root(None, tree)
+    tree = mcts.run_sims(None, tree)
+
+    visits = np.asarray(jax.vmap(root_visit_counts)(tree))[0]
+    action = int(visits.argmax())
+    g2 = g.clone()
+    g2.play_action(action, check=False)
+    new_states = jax.tree.map(lambda x: x[None], g2.state)
+
+    full = jax.vmap(
+        lambda t, a, s: reroot(engine, t, a, s, cfg.max_children)
+    )(tree, jnp.array([action]), new_states)
+    n_full = int(full.next_free[0])
+    assert n_full > 16, f"carry too small to exercise the cap ({n_full})"
+
+    for keep in (4, 8):
+        capped = jax.vmap(
+            lambda t, a, s: reroot(engine, t, a, s, cfg.max_children,
+                                   keep=keep)
+        )(tree, jnp.array([action]), new_states)
+        assert int(capped.next_free[0]) <= keep, (
+            f"keep={keep} left next_free={int(capped.next_free[0])}"
+        )
+        # root-tier aggregates survive (loss class = in-search eviction)
+        assert int(capped.n0[0]) == int(full.n0[0])
+        np.testing.assert_array_equal(np.asarray(capped.root_n[0]),
+                                      np.asarray(full.root_n[0]))
+        # and it still searches
+        capped = mcts.prepare_root(None, capped)
+        capped = mcts.run_sims(None, capped)
+        assert int(np.asarray(jax.vmap(root_visit_counts)(capped)).sum()) > 0

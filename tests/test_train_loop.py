@@ -110,3 +110,16 @@ def test_policy_targets_match_policy_dense():
                 e.policy_dense(engine.num_actions) for e in chunk
             ])
         np.testing.assert_array_equal(got, want, err_msg=head)
+
+
+def test_train_empty_examples_is_noop():
+    """Public train() API tolerates an empty example list (advisor r4)."""
+    engine = get_engine(3)
+    net = Network(engine, NetConfig(n=3, filters=8, blocks=1))
+    variables = net.init_variables(0)
+    out = net.train(variables, [], log=lambda m: None)
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        variables["params"], out["params"],
+    )
+    assert max(jax.tree.leaves(deltas)) == 0.0

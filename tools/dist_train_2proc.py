@@ -13,7 +13,7 @@ hosts" leg, runnable without a pod.
     python tools/dist_train_2proc.py            # launcher (spawns workers)
     python tools/dist_train_2proc.py worker I N # internal
 
-Also run by tests/test_distributed.py (`-m slow`).
+Also run by tests/test_distributed.py (default suite, ~50s).
 """
 
 from __future__ import annotations
