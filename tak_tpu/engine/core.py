@@ -594,20 +594,28 @@ class Engine:
         return build_fused_step(self, block_g=block_g, interpret=interpret)
 
     def wins_in_one_fused_fn(self, *, block_g: int = 128,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             action_chunk: int | None = None,
+                             max_rows: int = 1 << 19):
         """Batched instant-win scan through the fused step kernel:
         (states [B]) -> wins [B, A] bool.  Steps every (game, action)
-        pair in ONE kernel launch (illegal pairs ride the kernel's freeze
+        pair through the kernel (illegal pairs ride the kernel's freeze
         path), ~50x cheaper than vmapping the XLA step over B*A pairs.
         Same semantics as `wins_in_one` (self_play.rs:119-137 parity).
 
-        Memory scales with B*A probe rows (~1.6KB/row at 8x8): fine for
-        self-play B=32 on 6x6 (~0.5GB) and the playtak bot's B=1 on any
-        size, but B=128 on the 65k-action 8x8 space is a 25GB program —
-        keep B small on big boards (compiled parity + the limit are
-        recorded in runs/parity78_compiled_r4.json /
-        tools/parity_78_compiled.py).  `block_g` blocks the flattened
-        row axis and must stay a multiple of 128 (Mosaic lane rule)."""
+        Memory: a single launch materializes B*A probe rows (~1.6KB/row
+        at 8x8) — fine for self-play B=32 on 6x6 (~0.5GB) and the
+        playtak bot's B=1 on any size, but B=128 on the 65k-action 8x8
+        space would be a 25GB program.  When B*A exceeds `max_rows`
+        (default 512k rows, ~0.9GB of probe state at 8x8 — under 2GB
+        live with the kernel's outputs) the scan is CHUNKED over action
+        blocks with `lax.scan`, so only B*chunk probe rows are live per
+        step; `action_chunk` overrides the auto-chosen block.  6x6
+        self-play shapes (B<=56, A=9036) stay on the single-launch
+        path.  Compiled
+        parity is exercised by tools/parity_78_compiled.py.  `block_g`
+        blocks the flattened row axis and must stay a multiple of 128
+        (Mosaic lane rule)."""
         from ..types import result_winner
         from .pallas_env import build_fused_step
 
@@ -617,26 +625,71 @@ class Engine:
         @jax.jit
         def run(states: GameState):
             B = states.ply.shape[0]
-            rows = B * A
-            pad = (-rows) % block_g
             legal = jax.vmap(self.legal_mask)(states)           # [B, A]
 
+            if action_chunk is not None:
+                C = action_chunk
+            elif B * A <= max_rows:
+                C = A
+            else:  # largest block_g-multiple chunk within the row budget
+                C = max(block_g, (max_rows // B) // block_g * block_g)
+
+            if C >= A:  # ---- single launch over all B*A pairs ----------
+                rows = B * A
+                pad = (-rows) % block_g
+
+                def tile(x):
+                    rep = jnp.repeat(x, A, axis=0)
+                    if pad:
+                        rep = jnp.concatenate(
+                            [rep,
+                             jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]
+                        )
+                    return rep
+
+                rep = jax.tree.map(tile, states)
+                acts = jnp.tile(jnp.arange(A, dtype=jnp.int32), B)
+                enabled = legal.reshape(-1)
+                if pad:
+                    acts = jnp.concatenate([acts, jnp.zeros(pad, jnp.int32)])
+                    enabled = jnp.concatenate(
+                        [enabled, jnp.zeros(pad, bool)])
+                stepped = fused(rep, acts, enabled)
+                winner = result_winner(stepped.result[:rows]).reshape(B, A)
+                return (winner == states.to_move[:, None]) & legal
+
+            # ---- chunked: scan over ceil(A/C) action blocks ------------
+            nC = -(-A // C)
+            Apad = nC * C
+            legal_p = jnp.pad(legal, ((0, 0), (0, Apad - A)))
+            rows = B * C
+            pad = (-rows) % block_g
+
             def tile(x):
-                rep = jnp.repeat(x, A, axis=0)
+                rep = jnp.repeat(x, C, axis=0)
                 if pad:
                     rep = jnp.concatenate(
                         [rep, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])]
                     )
                 return rep
 
-            rep = jax.tree.map(tile, states)
-            acts = jnp.tile(jnp.arange(A, dtype=jnp.int32), B)
-            enabled = legal.reshape(-1)
-            if pad:
-                acts = jnp.concatenate([acts, jnp.zeros(pad, jnp.int32)])
-                enabled = jnp.concatenate([enabled, jnp.zeros(pad, bool)])
-            stepped = fused(rep, acts, enabled)
-            winner = result_winner(stepped.result[:rows]).reshape(B, A)
+            rep = jax.tree.map(tile, states)  # states fixed across chunks
+            base = jnp.tile(jnp.arange(C, dtype=jnp.int32), B)
+
+            def body(_, i):
+                # padded action ids clamp to A-1; enabled=False freezes
+                acts = jnp.minimum(base + i * C, A - 1)
+                en = jax.lax.dynamic_slice(
+                    legal_p, (0, i * C), (B, C)).reshape(-1)
+                if pad:
+                    acts = jnp.concatenate([acts, jnp.zeros(pad, jnp.int32)])
+                    en = jnp.concatenate([en, jnp.zeros(pad, bool)])
+                stepped = fused(rep, acts, en)
+                return None, result_winner(stepped.result[:rows]).reshape(B, C)
+
+            _, winners = jax.lax.scan(
+                body, None, jnp.arange(nC, dtype=jnp.int32))
+            winner = jnp.moveaxis(winners, 0, 1).reshape(B, Apad)[:, :A]
             return (winner == states.to_move[:, None]) & legal
 
         return run

@@ -68,3 +68,35 @@ def test_fused_wins_scan_parity():
     fused = engine.wins_in_one_fused_fn(block_g=8, interpret=True)
     got = np.asarray(fused(states))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_wins_scan_chunked_parity():
+    """Action-chunked wins_in_one (lax.scan over action blocks, bounded
+    live memory for big boards) == single-launch == vmapped oracle,
+    exactly — including a chunk size that does not divide A."""
+    import jax.numpy as jnp
+
+    from tak_tpu.engine.core import get_engine
+
+    engine = get_engine(5)
+    A = engine.num_actions
+    games = [
+        Game.from_ptn_moves(5, ["a1", "e5"]),
+        Game.from_ptn_moves(5, ["a5", "e1", "b1", "d5", "b2", "d4", "b3",
+                                "d3", "b4"]),  # black b5 road threat zone
+        Game.from_ptn_moves(5, ["a1", "e5", "c3", "c4", "d3", "d4", "b3",
+                                "b4"]),
+    ]
+    states = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[g.state for g in games]
+    )
+    ref = np.asarray(jax.vmap(engine.wins_in_one)(states))
+    for chunk in (256, 500):  # 500 does not divide 1575 -> padded tail
+        fused = engine.wins_in_one_fused_fn(
+            block_g=8, interpret=True, action_chunk=chunk)
+        got = np.asarray(fused(states))
+        np.testing.assert_array_equal(got, ref)
+    # auto-chunk trigger: tiny max_rows forces the scan path
+    fused_auto = engine.wins_in_one_fused_fn(
+        block_g=8, interpret=True, max_rows=1024)
+    np.testing.assert_array_equal(np.asarray(fused_auto(states)), ref)

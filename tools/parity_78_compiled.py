@@ -217,6 +217,24 @@ def main():
         print(f"{'PASS' if ok else 'FAIL'} n={n} compiled wins_in_one "
               f"parity [{time.perf_counter() - t0:.0f}s]")
 
+        # 4) PRODUCTION-batch win scan, action-chunked: B=128 on the
+        # 65k-action 8x8 space was a 25GB single-launch program (round-4
+        # limit); the lax.scan-chunked path keeps live probe rows at
+        # B*chunk <= 512k (~0.9GB of probe state).  The B=128 batch
+        # tiles the G oracle games, so every tile must repeat ref_w.
+        t0 = time.perf_counter()
+        BP = 128
+        rep128 = jax.tree.map(
+            lambda x: jnp.concatenate([x] * (BP // G), axis=0), sub)
+        wins_chunked = engine.wins_in_one_fused_fn()  # auto-chunks here
+        got128 = np.asarray(wins_chunked(rep128))
+        want128 = np.tile(ref_w, (BP // G, 1))
+        ok = bool(np.array_equal(got128, want128))
+        results[f"{n}_wins_b128_chunked"] = ok
+        print(f"{'PASS' if ok else 'FAIL'} n={n} compiled wins_in_one "
+              f"B={BP} action-chunked parity "
+              f"[{time.perf_counter() - t0:.0f}s]")
+
     print(json.dumps({"parity_78_compiled": results,
                       "all_pass": all(results.values())}))
     return 0 if all(results.values()) else 1
