@@ -29,10 +29,15 @@ def force_cpu() -> None:
 
 
 def setup_performance_defaults() -> None:
-    """Persistent compile cache + TPU-native PRNG (measured wins)."""
+    """Persistent compile cache + TPU-native PRNG (measured wins).
+
+    `TAK_COMPILE_CACHE` overrides the cache directory — point it at an
+    empty dir to measure true warm-from-cold compile budgets (docs/CI.md)
+    without invalidating the production cache."""
     import jax
 
-    cache = os.path.expanduser("~/.jax_cache")
+    cache = (os.environ.get("TAK_COMPILE_CACHE")
+             or os.path.expanduser("~/.jax_cache"))
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
