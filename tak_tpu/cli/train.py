@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quad-rollout-plies", type=int, default=0,
                    help="sequential (workers=1) mode: 4x rollouts while "
                         "ply < N (reference self_play.rs:19,63-67)")
+    p.add_argument("--train-passes", type=int, default=1,
+                   help="training passes over the buffer per generation "
+                        "(1 = reference parity; >1 helps small-buffer "
+                        "runs whose buffer refreshes slower than the "
+                        "reference's 1000 games/gen)")
     p.add_argument("--chunk-size", type=int, default=None,
                    help="training chunk size (default 500, network.rs:19)")
     p.add_argument("--chunks-in-step", type=int, default=None,
@@ -164,6 +169,7 @@ def main(argv=None):
         ),
         generations=args.generations,
         win_rate_threshold=args.win_rate_threshold,
+        train_passes=args.train_passes,
         workdir=args.workdir,
     )
     if args.chunk_size or args.chunks_in_step:

@@ -298,12 +298,18 @@ class Network:
 
     def train(self, variables, examples, *, rng=None, log=print,
               chunk_size: int | None = None, chunks_in_step: int | None = None,
-              mesh=None):
-        """One training pass over `examples` (list of Example), ref parity.
+              mesh=None, passes: int = 1):
+        """`passes` training passes over `examples` (list of Example);
+        passes=1 is reference parity.
 
-        Shuffles example order, walks 500-example chunks, steps the fresh
+        Shuffles example order (fresh shuffle per pass; ONE Adam state
+        across passes), walks 500-example chunks, steps the fresh
         Adam every 20 chunks (network.rs:37-57).  Input planes are rebuilt
         on device from the stored game states (network.rs:59).
+        `passes` > 1 is this framework's knob for small-buffer regimes
+        (a reduced-scale run refreshes its buffer far slower than the
+        reference's 1000 games/gen, so one pass per gate starves the
+        candidate — the diagnosed round-4 plateau).
 
         With `mesh` (a jax.sharding.Mesh with a "dp" axis), every chunk's
         batch rows are laid out across the mesh's devices and parameters
@@ -336,37 +342,44 @@ class Network:
 
         t0 = _time.time()
         pre = self._prestack(examples)
-        order = rng.permutation(len(examples))
         n_chunks = len(examples) // chunk_size
+        total_chunks = passes * n_chunks
         log(f"train: prestacked {len(examples)} examples in "
-            f"{_time.time() - t0:.1f}s; {n_chunks} chunks")
-        for i in range(n_chunks):
-            idx = order[i * chunk_size : (i + 1) * chunk_size]
-            sub_states, acts, vis, z = self._chunk_arrays(pre, idx)
-            planes = self.observe_batch(sub_states)
-            pi = self._build_pi(acts, vis)
-            planes, pi, z = place_batch(planes), place_batch(pi), place_batch(z)
-            grad_acc, batch_stats, lp, lz = self._accum_chunk(
-                params, batch_stats, grad_acc, planes, pi, z
-            )
-            if (i + 1) % chunks_in_step == 0:
-                log(f"chunk {i + 1}/{n_chunks} p={float(lp):.4f} z={float(lz):.4f} step")
-                params, opt_state, grad_acc = self._apply_update(
-                    params, opt_state, grad_acc
+            f"{_time.time() - t0:.1f}s; {n_chunks} chunks"
+            + (f" x {passes} passes" if passes > 1 else ""))
+        done = 0
+        for _ in range(passes):
+            order = rng.permutation(len(examples))
+            for i in range(n_chunks):
+                idx = order[i * chunk_size : (i + 1) * chunk_size]
+                sub_states, acts, vis, z = self._chunk_arrays(pre, idx)
+                planes = self.observe_batch(sub_states)
+                pi = self._build_pi(acts, vis)
+                planes, pi, z = (place_batch(planes), place_batch(pi),
+                                 place_batch(z))
+                grad_acc, batch_stats, lp, lz = self._accum_chunk(
+                    params, batch_stats, grad_acc, planes, pi, z
                 )
-        if n_chunks % chunks_in_step != 0:
+                done += 1
+                if done % chunks_in_step == 0:
+                    log(f"chunk {done}/{total_chunks} p={float(lp):.4f} "
+                        f"z={float(lz):.4f} step")
+                    params, opt_state, grad_acc = self._apply_update(
+                        params, opt_state, grad_acc
+                    )
+        if total_chunks % chunks_in_step != 0:
             # trailing partial accumulation: the reference drops it
             # (network.rs:37-57), which it can afford at 800 chunks per
             # 400k-example pass — but with a small buffer (< 20 chunks)
             # dropping it means NO optimizer step at all and the
             # candidate equals the incumbent
-            log(f"chunk {n_chunks}/{n_chunks} p={float(lp):.4f} "
+            log(f"chunk {total_chunks}/{total_chunks} p={float(lp):.4f} "
                 f"z={float(lz):.4f} step (trailing flush)")
             params, opt_state, grad_acc = self._apply_update(
                 params, opt_state, grad_acc
             )
         dt = _time.time() - t0
         if dt > 0:
-            log(f"train: {n_chunks} chunks in {dt:.1f}s "
-                f"({n_chunks * chunk_size / dt:,.0f} examples/s)")
+            log(f"train: {total_chunks} chunks in {dt:.1f}s "
+                f"({total_chunks * chunk_size / dt:,.0f} examples/s)")
         return {"params": params, "batch_stats": batch_stats}

@@ -45,6 +45,10 @@ class TrainLoopConfig:
     pit: PitConfig = field(default_factory=PitConfig)
     max_examples: int = 400_000
     win_rate_threshold: float = 0.55
+    # training passes over the buffer per generation (1 = reference
+    # parity; >1 for small-buffer regimes where one pass starves the
+    # candidate — the diagnosed round-4 6x6 plateau)
+    train_passes: int = 1
     generations: int | None = None   # None = loop forever (main.rs:85)
     workdir: str = "."
     checkpoint: bool = True          # write _checkpoint/ every generation
@@ -116,7 +120,7 @@ def training_loop(
             candidate = network.train(
                 variables, buffer.examples, log=log,
                 rng=np.random.default_rng([seed, generation]),
-                mesh=mesh,
+                mesh=mesh, passes=cfg.train_passes,
             )
 
             log(f"[gen {generation}] pitting candidate vs incumbent")

@@ -123,3 +123,29 @@ def test_train_empty_examples_is_noop():
         variables["params"], out["params"],
     )
     assert max(jax.tree.leaves(deltas)) == 0.0
+
+
+def test_train_passes_more_steps():
+    """passes=N walks the buffer N times under ONE Adam state and moves
+    the params further than a single pass (small-buffer regime knob)."""
+    engine = get_engine(3)
+    net = Network(engine, NetConfig(n=3, filters=8, blocks=1))
+    variables = net.init_variables(0)
+    rng = np.random.default_rng(0)
+    examples = _fake_examples(engine, 40, rng)
+
+    logs1, logs3 = [], []
+    one = net.train(variables, examples, rng=np.random.default_rng(1),
+                    chunk_size=10, chunks_in_step=2, log=logs1.append)
+    three = net.train(variables, examples, rng=np.random.default_rng(1),
+                      chunk_size=10, chunks_in_step=2, passes=3,
+                      log=logs3.append)
+    step_lines = [l for l in logs3 if l.endswith("step")]
+    assert len(step_lines) == 3 * len([l for l in logs1 if l.endswith("step")])
+    d1 = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        variables["params"], one["params"])))
+    d3 = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        variables["params"], three["params"])))
+    assert d3 > d1 > 0

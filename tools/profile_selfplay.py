@@ -63,15 +63,21 @@ class StopAfter(Exception):
 orig_run_sims = actor.mcts.run_sims
 
 
+WARM_MOVES = int(os.environ.get("SP_WARM_MOVES", 2))  # bench.py rationale:
+# the move-tail bundle (reroot/keep variants included) compiles lazily
+# AFTER the first search, so a timer starting at move 1 catches its
+# compile inside the "warmed" window (CLAUDE.md).
+
+
 def counting_run_sims(params, tree):
     global moves_done, t_after_warm
     out = orig_run_sims(params, tree)
     jax.device_get(out.n0[0])
     moves_done += 1
-    if moves_done == 1:
+    if moves_done == WARM_MOVES:
         t_after_warm = time.perf_counter()
-        print("first move (compile+search) done")
-    if moves_done >= MOVES + 1:
+        print(f"warmup done ({WARM_MOVES} moves: compile+search)")
+    if moves_done >= MOVES + WARM_MOVES:
         raise StopAfter
     return out
 
