@@ -28,11 +28,21 @@ B = int(os.environ.get("BENCH_MCTS_BATCH", 256))
 V = int(os.environ.get("BENCH_MCTS_WAVE", 16))
 K = int(os.environ.get("BENCH_MCTS_K", 64))
 SIMS = int(os.environ.get("BENCH_MCTS_SIMS", 512))
+# recycled/sustained mode (the self-play production tier): bounded pool
+# with per-descent eviction, components timed on a FULL pool (a deep
+# search fills it first) so the numbers include evict work + deep
+# descents — the round-4 gap nobody had measured directly.
+RECYCLE = os.environ.get("BENCH_RECYCLE", "0") == "1"
+BUDGET = int(os.environ.get("BENCH_BUDGET", 1280))
+SCAN_CHUNK = int(os.environ.get("BENCH_SCAN_CHUNK", 0)) or None
+SUSTAIN = os.environ.get("BENCH_SUSTAIN", "1" if RECYCLE else "0") == "1"
 
 engine = Engine(N)
 net = Network(engine, NetConfig.for_size(N))
 variables = net.init_variables(0)
-cfg = SearchConfig(num_sims=SIMS, wave_size=V, max_children=K)
+cfg = SearchConfig(num_sims=SIMS, wave_size=V, max_children=K,
+                   recycle=RECYCLE, node_budget=BUDGET if RECYCLE else None,
+                   scan_chunk=SCAN_CHUNK)
 mcts = MCTS(engine, lambda p, s: net.policy_eval_states(p, s), cfg)
 
 roots = engine.initial_batch(B, 4)
@@ -40,7 +50,15 @@ roots = engine.batched_step(roots, jnp.zeros(B, jnp.int32))
 roots = engine.batched_step(roots, jnp.full(B, engine.num_squares - 1, jnp.int32))
 tree = mcts.init_batch(roots)
 tree = mcts.prepare_root(variables, tree)
-print("use_pallas:", mcts._use_pallas, "max_nodes:", cfg.max_nodes)
+if SUSTAIN:
+    # fill the pool: component timings below then measure the sustained
+    # regime (every create evicts, descents at full depth)
+    tree = mcts.run_sims(variables, tree)
+    import numpy as _np
+
+    print("pool fill:", _np.asarray(tree.next_free).min(), "/", cfg.max_nodes)
+print("use_pallas:", mcts._use_pallas, "max_nodes:", cfg.max_nodes,
+      "recycle:", RECYCLE, "sustained:", SUSTAIN)
 
 
 def _readback(out):
@@ -103,6 +121,14 @@ def lt(states, policy):
 
 lt_j = jax.jit(lt)
 (vals, aidx), t_lt = timeit("legal+topk", lt_j, flat_states, policy)
+
+# 5b. the production split: legal alone vs packedq top-k alone
+from tak_tpu.mcts.search import masked_topk
+
+legal_j = jax.jit(lambda s: jax.vmap(engine.legal_mask)(s))
+legal_m, t_legal = timeit("  legal_mask alone", legal_j, flat_states)
+pk_j = jax.jit(lambda p, l: masked_topk(p, l, K, "packedq"))
+_, t_pk = timeit("  masked_topk packedq", pk_j, policy, legal_m)
 
 # 6. write_nodes + leaf_values + expand_backup kernel
 leaf_results = flat_states.result.reshape(B, V)
