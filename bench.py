@@ -46,10 +46,14 @@ SP_WORKERS = int(os.environ.get("BENCH_SP_WORKERS", 32))
 SP_SIMS = int(os.environ.get("BENCH_SP_SIMS", 10_240))
 SP_MOVES = int(os.environ.get("BENCH_SP_MOVES", 2))
 # wave 256 is the measured throughput peak of the sustained e2e curve
-# (40.0k/42.3k/44.9k/56.0k/75.0k/5.5k at waves 16..512, docs/ROADMAP.md)
-# and passed the strength guardrail: wave-256 pit vs wave-16 at equal
-# 1024-sim budgets scored 10-11-43 (win_rate 0.476, CI +-0.21 — no
-# measurable loss; wave 32 vs 16 scored 0.579), runs/strength_ab_r4.jsonl
+# (40.0k/42.3k/44.9k/56.0k/75.0k/5.5k at waves 16..512, docs/ROADMAP.md).
+# Strength evidence (runs/strength_ab_r4.jsonl + _r5.jsonl): the 5x5
+# 1024-sim A/B was neutral (10-11-43, 0.476), the 6x6 2048-sim A/B
+# leaned negative but inconclusive (9-13-10, 0.409, CI +-0.21 — with
+# 12.5% of the budget in flight, 5x the staleness of the production
+# point), and the round-5 A/B at the TRUE operating point (6x6, 10,240
+# sims, 2.5% in flight, trained checkpoint) is recorded in
+# runs/strength_ab_r5.jsonl — see docs/ROADMAP.md for the reading.
 SP_WAVE = int(os.environ.get("BENCH_SP_WAVE", 256))
 
 

@@ -93,6 +93,62 @@ def _write_flat(ref, idx, val):
     ref[pl.ds(r, 1), :] = jnp.where(_lane_iota((1, LANES)) == l, val, row)
 
 
+def _rmw_flat(ref, idx, delta):
+    """Add `delta` at flat `idx`: one row read + one masked add + one
+    write — no cross-lane reduction (vs _read_flat + _write_flat, which
+    pays a lane-extract reduction and two dynamic slices).  The scalar
+    per-descent cost of these kernels is dominated by cross-lane
+    reductions and dynamic-slice issues (~100 cycles each; measured:
+    5x5 and 6x6 descents cost the SAME despite 4.5x the vector work),
+    so every reduction removed is a direct win."""
+    r = idx // LANES
+    l = idx - r * LANES
+    row = ref[pl.ds(r, 1), :]
+    ref[pl.ds(r, 1), :] = row + jnp.where(
+        _lane_iota((1, LANES)) == l, delta, jnp.zeros_like(row)
+    )
+
+
+# --- packed-field codecs -----------------------------------------------
+# pm packs (parent, parent_slot, expanded) into one i32 per node:
+#   pm = (parent+1) << 9 | (parent_slot+1) << 1 | expanded
+# so the backup walk and the eviction path read ONE flat element where
+# they used to read three (parent_action is read only on the root-edge
+# hop, under a branch).  Bits: parent+1 <= M <= 2048 (VMEM budget caps M
+# far below 2^22), parent_slot+1 <= K <= 128, expanded 1 bit.
+# epac packs (edge_child, edge_action) into one i32 per edge:
+#   epac = (child+1) * SA + (action+1),  SA = next pow2 >= A+2
+# so the per-level PUCT select reads one row and decodes both child and
+# action from a single cross-lane reduction.
+
+
+def _pm_pack(parent, parent_slot, expanded):
+    return ((parent + 1) << 9) | ((parent_slot + 1) << 1) | expanded
+
+
+def _pm_parent(pm):
+    return (pm >> 9) - 1
+
+
+def _pm_slot(pm):
+    return ((pm >> 1) & 0xFF) - 1
+
+
+def _pm_expanded(pm):
+    return pm & 1
+
+
+def _action_shift(A):
+    sa = 1
+    while sa < A + 2:
+        sa *= 2
+    return sa
+
+
+def _epac_pack(child, action, SA):
+    return (child + 1) * SA + (action + 1)
+
+
 def _last_argmax(scores, idx_grid):
     """Index of the max; ties -> LAST index (Rust Iterator::max_by)."""
     m = jnp.max(scores)
@@ -113,34 +169,44 @@ def _victim_pair(*, M, Mr, node_n, node_virt, child_count):
     at most one create happens per descent, and nothing that affects
     candidacy mutates between the descent's start and its create (only
     edge virtual-loss marks do) — so the pair stays valid; the second
-    candidate covers the case where the first is the create's parent."""
+    candidate covers the case where the first is the create's parent.
+
+    Packed form: min over n*PK + flat_index gives the lexicographic
+    (n, index) minimum in ONE reduction per candidate (two total, vs
+    four in the unpacked form).  node_n is clamped so the pack cannot
+    overflow; the clamp binds only for childless nodes with >~800k
+    visits (unreachable at supported sim budgets) and then only relaxes
+    ordering among such nodes to index order."""
     flat = _flat_iota(Mr, LANES)
     cand = (
         (child_count[...] == 0) & (node_virt[...] == 0)
         & (flat > 0) & (flat < M)
     )
-    score = jnp.where(cand, node_n[...], _INT_INF)
-    m1 = jnp.min(score)
-    v1 = jnp.min(jnp.where(score == m1, flat, _INT_INF))
+    PK = Mr * LANES
+    n_c = jnp.minimum(node_n[...], _INT_INF // PK - 1)
+    packed = jnp.where(cand, n_c * PK + flat, _INT_INF)
+    m1 = jnp.min(packed)
     have1 = m1 < _INT_INF
-    score2 = jnp.where(flat == v1, _INT_INF, score)
-    m2 = jnp.min(score2)
-    v2 = jnp.min(jnp.where(score2 == m2, flat, _INT_INF))
+    v1 = m1 - (m1 // PK) * PK
+    packed2 = jnp.where(flat == v1, _INT_INF, packed)
+    m2 = jnp.min(packed2)
     have2 = m2 < _INT_INF
+    v2 = m2 - (m2 // PK) * PK
     return v1, have1, v2, have2
 
 
-def _evict_alloc(want, nf, cur, pair, *, M, K, aidx,
-                 node_n, child_count, expanded,
-                 parent, parent_slot, parent_action,
-                 edge_child, root_child):
+def _evict_alloc(want, nf, cur, pair, *, M, K, SA, aidx,
+                 node_n, child_count, pm, parent_action,
+                 epac, root_child):
     """Node-slot allocation with recycling: a fresh slot while the pool
     has room, else evict the coldest candidate from `pair` (skipping
     `cur`, the node being attached to).  Eviction detaches the victim
     from its parent (edge or dense root tier) but keeps the parent
     edge's statistics: selection still sees the aggregate, the subtree
     re-materializes on demand.  Returns (slot, ok, new_nf); refs mutate
-    only when evicting."""
+    only when evicting.  The victim's packed pm keeps its stale parent
+    links (only the expanded bit clears), mirroring the XLA path, which
+    leaves parent/parent_slot/parent_action stale on eviction."""
     v1, have1, v2, have2 = pair
     fresh = nf < M
     use2 = v1 == cur
@@ -149,24 +215,26 @@ def _evict_alloc(want, nf, cur, pair, *, M, K, aidx,
 
     @pl.when(want & ~fresh & have)
     def _():
-        pv = _read_flat(parent, victim)
-        sv = _read_flat(parent_slot, victim)
-        av = _read_flat(parent_action, victim)
+        pmv = _read_flat(pm, victim)
+        pv = _pm_parent(pmv)
+        sv = _pm_slot(pmv)
         is_root_edge = (pv == 0) & (sv == NONE)
 
         @pl.when(is_root_edge)
         def _():
+            av = _read_flat(parent_action, victim)
             root_child[...] = jnp.where(aidx == av, NONE, root_child[...])
 
         @pl.when(~is_root_edge)
         def _():
-            row = edge_child[pl.ds(pv, 1), :]
-            edge_child[pl.ds(pv, 1), :] = jnp.where(
-                _lane_iota((1, K)) == sv, NONE, row
+            # clear the child half of the packed edge, keep the action
+            row = epac[pl.ds(pv, 1), :]
+            epac[pl.ds(pv, 1), :] = jnp.where(
+                _lane_iota((1, K)) == sv, row % SA, row
             )
 
-        _write_flat(child_count, pv, _read_flat(child_count, pv) - 1)
-        _write_flat(expanded, victim, 0)
+        _rmw_flat(child_count, pv, -1)
+        _write_flat(pm, victim, pmv - _pm_expanded(pmv))
         _write_flat(node_n, victim, 0)
 
     slot = jnp.where(fresh, nf, victim)
@@ -188,15 +256,12 @@ def _descend_kernel(
     root_w_ref,          # (Ar, 128) f32
     root_virt_in,        # (Ar, 128) i32
     root_child_in,       # (Ar, 128) i32
-    edge_action_ref,     # (M, K) i32
+    epac_in,             # (M, K) i32 packed (child, action)
     edge_prior_ref,      # (M, K) f32
     edge_n_ref,          # (M, K) i32
     edge_w_ref,          # (M, K) f32
     edge_virt_in,        # (M, K) i32
-    edge_child_in,       # (M, K) i32
-    expanded_in,         # (Mr, 128) i32
-    parent_in,           # (Mr, 128) i32
-    parent_slot_in,      # (Mr, 128) i32
+    pm_in,               # (Mr, 128) i32 packed (parent, slot, expanded)
     parent_action_in,    # (Mr, 128) i32
     node_n_in,           # (Mr, 128) i32  (recycling bookkeeping)
     node_virt_in,        # (Mr, 128) i32
@@ -206,10 +271,8 @@ def _descend_kernel(
     root_virt_out,       # (Ar, 128) i32
     root_child_out,      # (Ar, 128) i32
     edge_virt_out,       # (M, K) i32
-    edge_child_out,      # (M, K) i32
-    expanded_out,        # (Mr, 128) i32
-    parent_out,          # (Mr, 128) i32
-    parent_slot_out,     # (Mr, 128) i32
+    epac_out,            # (M, K) i32
+    pm_out,              # (Mr, 128) i32
     parent_action_out,   # (Mr, 128) i32
     node_n_out,          # (Mr, 128) i32
     node_virt_out,       # (Mr, 128) i32
@@ -222,6 +285,7 @@ def _descend_kernel(
     K: int,
     Ar: int,
     Mr: int,
+    SA: int,
     base: float,
     init: float,
     recycle: bool,
@@ -230,10 +294,8 @@ def _descend_kernel(
     root_virt_out[...] = root_virt_in[...]
     root_child_out[...] = root_child_in[...]
     edge_virt_out[...] = edge_virt_in[...]
-    edge_child_out[...] = edge_child_in[...]
-    expanded_out[...] = expanded_in[...]
-    parent_out[...] = parent_in[...]
-    parent_slot_out[...] = parent_slot_in[...]
+    epac_out[...] = epac_in[...]
+    pm_out[...] = pm_in[...]
     parent_action_out[...] = parent_action_in[...]
     node_n_out[...] = node_n_in[...]
     node_virt_out[...] = node_virt_in[...]
@@ -260,12 +322,11 @@ def _descend_kernel(
 
         def alloc(want, nf, cur):
             return _evict_alloc(
-                want, nf, cur, pair, M=M, K=K, aidx=aidx,
+                want, nf, cur, pair, M=M, K=K, SA=SA, aidx=aidx,
                 node_n=node_n_out,
-                child_count=child_count_out, expanded=expanded_out,
-                parent=parent_out, parent_slot=parent_slot_out,
+                child_count=child_count_out, pm=pm_out,
                 parent_action=parent_action_out,
-                edge_child=edge_child_out, root_child=root_child_out,
+                epac=epac_out, root_child=root_child_out,
             )
 
         return alloc
@@ -312,12 +373,10 @@ def _descend_kernel(
             root_child_out[...] = jnp.where(
                 onehot, slot0, root_child_out[...]
             )
-            _write_flat(parent_out, slot0, 0)
-            _write_flat(parent_slot_out, slot0, NONE)
+            _write_flat(pm_out, slot0, _pm_pack(0, NONE, 0))
             _write_flat(parent_action_out, slot0, a0)
             if recycle:
-                _write_flat(child_count_out, 0,
-                            _read_flat(child_count_out, 0) + 1)
+                _rmw_flat(child_count_out, 0, 1)
                 _write_flat(node_n_out, slot0,
                             jnp.sum(jnp.where(onehot, rn, 0)))
 
@@ -332,12 +391,12 @@ def _descend_kernel(
 
         def wbody(c):
             cur, nv, leaf_v, created_v, nf = c
-            exp = _read_flat(expanded_out, cur) != 0
+            exp = _pm_expanded(_read_flat(pm_out, cur)) != 0
 
-            ea = edge_action_ref[pl.ds(cur, 1), :]
+            pac = epac_out[pl.ds(cur, 1), :]
+            ap1 = pac % SA  # action+1 per lane; 0 = unused slot
             ev = edge_virt_out[pl.ds(cur, 1), :]
             en = edge_n_ref[pl.ds(cur, 1), :]
-            ec = edge_child_out[pl.ds(cur, 1), :]
             tot = (en + ev).astype(jnp.float32)
             q = jnp.where(
                 tot > 0,
@@ -352,11 +411,13 @@ def _descend_kernel(
                 * jnp.sqrt(npf)
                 / (1.0 + tot)
             )
-            scores = jnp.where(ea != NONE, q + u, _NEG_INF)
+            scores = jnp.where(ap1 != 0, q + u, _NEG_INF)
             slot = _last_argmax(scores, kidx)
             oh = kidx == slot
-            action = jnp.sum(jnp.where(oh, ea, 0))
-            child = jnp.sum(jnp.where(oh, ec, 0))
+            # one packed reduction decodes both child and action
+            pacv = jnp.sum(jnp.where(oh, pac, 0))
+            child = pacv // SA - 1
+            action = pacv - (pacv // SA) * SA - 1
             cnv = jnp.sum(jnp.where(oh, en + ev, 0))
 
             want_create = exp & (child == NONE)
@@ -370,14 +431,14 @@ def _descend_kernel(
             def _():
                 # re-read the row: an eviction in alloc() may have
                 # detached a sibling from this very row
-                row = edge_child_out[pl.ds(cur, 1), :]
-                edge_child_out[pl.ds(cur, 1), :] = jnp.where(oh, slot_c, row)
-                _write_flat(parent_out, slot_c, cur)
-                _write_flat(parent_slot_out, slot_c, slot)
+                row = epac_out[pl.ds(cur, 1), :]
+                epac_out[pl.ds(cur, 1), :] = jnp.where(
+                    oh, row % SA + (slot_c + 1) * SA, row
+                )
+                _write_flat(pm_out, slot_c, _pm_pack(cur, slot, 0))
                 _write_flat(parent_action_out, slot_c, action)
                 if recycle:
-                    _write_flat(child_count_out, cur,
-                                _read_flat(child_count_out, cur) + 1)
+                    _rmw_flat(child_count_out, cur, 1)
                     _write_flat(node_n_out, slot_c,
                                 jnp.sum(jnp.where(oh, en, 0)))
 
@@ -398,8 +459,7 @@ def _descend_kernel(
         if recycle:
             # pin the resolved leaf until its backup releases it — keeps
             # in-flight leaves out of later descents' eviction candidates
-            _write_flat(node_virt_out, leaf_v,
-                        _read_flat(node_virt_out, leaf_v) + 1)
+            _rmw_flat(node_virt_out, leaf_v, 1)
 
         is_v = vidx == v
         leaf_ref[...] = jnp.where(is_v, leaf_v, leaf_ref[...])
@@ -430,16 +490,13 @@ def _expand_backup_kernel(
     tomove_ref,          # SMEM (1, V) i32 leaf side-to-move
     topk_vals_ref,       # (V, K) f32 masked top-K priors (-1 pad)
     topk_aidx_ref,       # (V, K) i32 top-K action ids
-    parent_ref,          # (Mr, 128) i32
-    parent_slot_ref,     # (Mr, 128) i32
+    pm_in,               # (Mr, 128) i32 packed (parent, slot, expanded)
     parent_action_ref,   # (Mr, 128) i32
-    expanded_in,         # (Mr, 128) i32
     root_n_in,           # (Ar, 128) i32
     root_virt_in,        # (Ar, 128) i32
     root_w_in,           # (Ar, 128) f32
-    edge_action_in,      # (M, K) i32
+    epac_in,             # (M, K) i32 packed (child, action)
     edge_prior_in,       # (M, K) f32
-    edge_child_in,       # (M, K) i32
     edge_n_in,           # (M, K) i32
     edge_virt_in,        # (M, K) i32
     edge_w_in,           # (M, K) f32
@@ -447,13 +504,12 @@ def _expand_backup_kernel(
     node_virt_in,        # (Mr, 128) i32
     # outputs
     scal_out,            # SMEM (1, 4) i32
-    expanded_out,        # (Mr, 128) i32
+    pm_out,              # (Mr, 128) i32
     root_n_out,          # (Ar, 128) i32
     root_virt_out,       # (Ar, 128) i32
     root_w_out,          # (Ar, 128) f32
-    edge_action_out,     # (M, K) i32
+    epac_out,            # (M, K) i32
     edge_prior_out,      # (M, K) f32
-    edge_child_out,      # (M, K) i32
     edge_n_out,          # (M, K) i32
     edge_virt_out,       # (M, K) i32
     edge_w_out,          # (M, K) f32
@@ -463,16 +519,16 @@ def _expand_backup_kernel(
     V: int,
     K: int,
     Ar: int,
+    SA: int,
     ongoing: int,
     recycle: bool,
 ):
-    expanded_out[...] = expanded_in[...]
+    pm_out[...] = pm_in[...]
     root_n_out[...] = root_n_in[...]
     root_virt_out[...] = root_virt_in[...]
     root_w_out[...] = root_w_in[...]
-    edge_action_out[...] = edge_action_in[...]
+    epac_out[...] = epac_in[...]
     edge_prior_out[...] = edge_prior_in[...]
-    edge_child_out[...] = edge_child_in[...]
     edge_n_out[...] = edge_n_in[...]
     edge_virt_out[...] = edge_virt_in[...]
     edge_w_out[...] = edge_w_in[...]
@@ -498,14 +554,13 @@ def _expand_backup_kernel(
         val = jnp.where(res != ongoing, term_val, values_ref[0, v])
         if recycle:
             # release the descent's in-flight pin (one per backup entry)
-            _write_flat(node_virt_out, cur,
-                        _read_flat(node_virt_out, cur) - 1)
+            _rmw_flat(node_virt_out, cur, -1)
 
         # ---- expansion: install the leaf's top-K prior row -------------
         # Skip terminal leaves, the root (prepare_root owns it), and
         # already-expanded rows (pool-full re-evals; duplicate pending
         # leaves would rewrite an identical row).
-        was_expanded = _read_flat(expanded_out, cur) != 0
+        was_expanded = _pm_expanded(_read_flat(pm_out, cur)) != 0
         do_expand = (
             (results_ref[0, v] == ongoing) & (cur != 0) & ~was_expanded
         )
@@ -515,29 +570,31 @@ def _expand_backup_kernel(
             va = topk_vals_ref[pl.ds(v, 1), :]
             ai = topk_aidx_ref[pl.ds(v, 1), :]
             okm = va >= 0.0
-            edge_action_out[pl.ds(cur, 1), :] = jnp.where(okm, ai, NONE)
+            # child = NONE for every slot -> packed value is action+1
+            epac_out[pl.ds(cur, 1), :] = jnp.where(okm, ai + 1, 0)
             edge_prior_out[pl.ds(cur, 1), :] = jnp.where(okm, va, 0.0)
             zi = jnp.zeros((1, K), jnp.int32)
             edge_n_out[pl.ds(cur, 1), :] = zi
             edge_virt_out[pl.ds(cur, 1), :] = zi
             edge_w_out[pl.ds(cur, 1), :] = jnp.zeros((1, K), jnp.float32)
-            edge_child_out[pl.ds(cur, 1), :] = jnp.full((1, K), NONE, jnp.int32)
-            _write_flat(expanded_out, cur, 1)
+            _rmw_flat(pm_out, cur, 1)  # expanded bit (known clear)
 
         def wcond(c):
             return c[0] != NONE
 
         def wbody(c):
             cur, sign, n0, virt0 = c
-            p = _read_flat(parent_ref, cur)
-            s = _read_flat(parent_slot_ref, cur)
-            a = _read_flat(parent_action_ref, cur)
+            pmv = _read_flat(pm_out, cur)
+            p = _pm_parent(pmv)
+            s = _pm_slot(pmv)
             is_root_edge = (p == 0) & (s == NONE)
             is_edge = (p != NONE) & ~is_root_edge
             at_root = cur == 0
 
             @pl.when(is_root_edge)
             def _():
+                # parent_action is only needed on the root-edge hop
+                a = _read_flat(parent_action_ref, cur)
                 oh = aidx == a
                 ohi = oh.astype(jnp.int32)
                 root_n_out[...] = root_n_out[...] + ohi
@@ -592,9 +649,13 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
     A = engine.num_actions
     Ar = _cdiv(A, LANES)
     Mr = _cdiv(M, LANES)
+    SA = _action_shift(A)
+    # packed-field bit budgets: slot+1 needs 8 bits (K <= 128) and the
+    # (child+1)*SA + action+1 pack must fit in i32
+    assert K <= 128 and (M + 1) * SA + A + 1 < 2 ** 31, (M, K, A, SA)
 
     kernel = partial(
-        _expand_backup_kernel, V=V, K=K, Ar=Ar, ongoing=int(ONGOING),
+        _expand_backup_kernel, V=V, K=K, Ar=Ar, SA=SA, ongoing=int(ONGOING),
         recycle=bool(config.recycle),
     )
 
@@ -628,15 +689,17 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
         )[:, None, :]
         i32 = jnp.int32
         f32 = jnp.float32
+        pm = _pm_pack(tree.parent, tree.parent_slot,
+                      tree.expanded.astype(i32))
+        epac = _epac_pack(tree.edge_child, tree.edge_action, SA)
         out_shapes = (
             jax.ShapeDtypeStruct((B, 1, 4), i32),         # scal
-            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # expanded
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # pm
             jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_n
             jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_virt
             jax.ShapeDtypeStruct((B, Ar, LANES), f32),    # root_w
-            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_action
+            jax.ShapeDtypeStruct((B, M, K), i32),         # epac
             jax.ShapeDtypeStruct((B, M, K), f32),         # edge_prior
-            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_child
             jax.ShapeDtypeStruct((B, M, K), i32),         # edge_n
             jax.ShapeDtypeStruct((B, M, K), i32),         # edge_virt
             jax.ShapeDtypeStruct((B, M, K), f32),         # edge_w
@@ -649,11 +712,10 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
             in_specs=[
                 sspec, rowspec(V), rowspec(V), rowspec(V), rowspec(V),
                 vspec(V, K), vspec(V, K),
-                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
-                vspec(Mr, LANES),
+                vspec(Mr, LANES), vspec(Mr, LANES),
                 vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
                 vspec(M, K), vspec(M, K), vspec(M, K),
-                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(M, K), vspec(M, K),
                 vspec(Mr, LANES), vspec(Mr, LANES),
             ],
             out_specs=(
@@ -661,7 +723,7 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
                 vspec(Mr, LANES),
                 vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
                 vspec(M, K), vspec(M, K), vspec(M, K),
-                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(M, K), vspec(M, K),
                 vspec(Mr, LANES), vspec(Mr, LANES),
             ),
             out_shape=out_shapes,
@@ -673,32 +735,31 @@ def build_expand_backup_wave(engine, config, *, interpret: bool = False):
             leaf_results[:, None, :],
             leaf_to_move.astype(i32)[:, None, :],
             topk_vals.astype(f32), topk_aidx,
-            to_rows(tree.parent, padM, Mr),
-            to_rows(tree.parent_slot, padM, Mr),
+            to_rows(pm, padM, Mr),
             to_rows(tree.parent_action, padM, Mr),
-            to_rows(tree.expanded.astype(i32), padM, Mr),
             to_rows(tree.root_n, padA, Ar),
             to_rows(tree.root_virt, padA, Ar),
             to_rows(tree.root_w.astype(f32), padA, Ar),
-            tree.edge_action, tree.edge_prior.astype(f32), tree.edge_child,
+            epac, tree.edge_prior.astype(f32),
             tree.edge_n, tree.edge_virt, tree.edge_w.astype(f32),
             to_rows(tree.node_n, padM, Mr),
             to_rows(tree.node_virt, padM, Mr),
         )
-        (scal_o, exp_o, rn_o, rv_o, rw_o,
-         ea_o, ep_o, ec_o, en_o, ev_o, ew_o, nn_o, nvt_o) = outs
+        (scal_o, pm_o, rn_o, rv_o, rw_o,
+         epac_o, ep_o, en_o, ev_o, ew_o, nn_o, nvt_o) = outs
 
         def from_rows(x, n):
             return x.reshape(B, -1)[:, :n]
 
+        pm_flat = from_rows(pm_o, M)
         return tree.replace(
-            expanded=from_rows(exp_o, M).astype(bool),
+            expanded=_pm_expanded(pm_flat).astype(bool),
             root_n=from_rows(rn_o, A),
             root_virt=from_rows(rv_o, A),
             root_w=from_rows(rw_o, A),
-            edge_action=ea_o,
+            edge_action=epac_o % SA - 1,
             edge_prior=ep_o,
-            edge_child=ec_o,
+            edge_child=epac_o // SA - 1,
             edge_n=en_o,
             edge_virt=ev_o,
             edge_w=ew_o,
@@ -734,15 +795,12 @@ def _backup_descend_kernel(
     root_virt_in,        # (Ar, 128) i32
     root_w_in,           # (Ar, 128) f32
     root_child_in,       # (Ar, 128) i32
-    edge_action_in,      # (M, K) i32
+    epac_in,             # (M, K) i32 packed (child, action)
     edge_prior_in,       # (M, K) f32
-    edge_child_in,       # (M, K) i32
     edge_n_in,           # (M, K) i32
     edge_virt_in,        # (M, K) i32
     edge_w_in,           # (M, K) f32
-    expanded_in,         # (Mr, 128) i32
-    parent_in,           # (Mr, 128) i32
-    parent_slot_in,      # (Mr, 128) i32
+    pm_in,               # (Mr, 128) i32 packed (parent, slot, expanded)
     parent_action_in,    # (Mr, 128) i32
     node_n_in,           # (Mr, 128) i32  (recycling bookkeeping)
     node_virt_in,        # (Mr, 128) i32
@@ -753,15 +811,12 @@ def _backup_descend_kernel(
     root_virt_out,
     root_w_out,
     root_child_out,
-    edge_action_out,
+    epac_out,
     edge_prior_out,
-    edge_child_out,
     edge_n_out,
     edge_virt_out,
     edge_w_out,
-    expanded_out,
-    parent_out,
-    parent_slot_out,
+    pm_out,
     parent_action_out,
     node_n_out,
     node_virt_out,
@@ -774,6 +829,7 @@ def _backup_descend_kernel(
     K: int,
     Ar: int,
     Mr: int,
+    SA: int,
     base: float,
     init: float,
     ongoing: int,
@@ -784,15 +840,12 @@ def _backup_descend_kernel(
     root_virt_out[...] = root_virt_in[...]
     root_w_out[...] = root_w_in[...]
     root_child_out[...] = root_child_in[...]
-    edge_action_out[...] = edge_action_in[...]
+    epac_out[...] = epac_in[...]
     edge_prior_out[...] = edge_prior_in[...]
-    edge_child_out[...] = edge_child_in[...]
     edge_n_out[...] = edge_n_in[...]
     edge_virt_out[...] = edge_virt_in[...]
     edge_w_out[...] = edge_w_in[...]
-    expanded_out[...] = expanded_in[...]
-    parent_out[...] = parent_in[...]
-    parent_slot_out[...] = parent_slot_in[...]
+    pm_out[...] = pm_in[...]
     parent_action_out[...] = parent_action_in[...]
     node_n_out[...] = node_n_in[...]
     node_virt_out[...] = node_virt_in[...]
@@ -821,10 +874,9 @@ def _backup_descend_kernel(
         val = jnp.where(res != ongoing, term_val, values_ref[0, v])
         if recycle:
             # release the descent's in-flight pin (one per backup entry)
-            _write_flat(node_virt_out, cur,
-                        _read_flat(node_virt_out, cur) - 1)
+            _rmw_flat(node_virt_out, cur, -1)
 
-        was_expanded = _read_flat(expanded_out, cur) != 0
+        was_expanded = _pm_expanded(_read_flat(pm_out, cur)) != 0
         do_expand = (res == ongoing) & (cur != 0) & ~was_expanded
 
         @pl.when(do_expand)
@@ -832,29 +884,31 @@ def _backup_descend_kernel(
             va = topk_vals_ref[pl.ds(v, 1), :]
             ai = topk_aidx_ref[pl.ds(v, 1), :]
             okm = va >= 0.0
-            edge_action_out[pl.ds(cur, 1), :] = jnp.where(okm, ai, NONE)
+            # child = NONE for every slot -> packed value is action+1
+            epac_out[pl.ds(cur, 1), :] = jnp.where(okm, ai + 1, 0)
             edge_prior_out[pl.ds(cur, 1), :] = jnp.where(okm, va, 0.0)
             zi = jnp.zeros((1, K), jnp.int32)
             edge_n_out[pl.ds(cur, 1), :] = zi
             edge_virt_out[pl.ds(cur, 1), :] = zi
             edge_w_out[pl.ds(cur, 1), :] = jnp.zeros((1, K), jnp.float32)
-            edge_child_out[pl.ds(cur, 1), :] = jnp.full((1, K), NONE, jnp.int32)
-            _write_flat(expanded_out, cur, 1)
+            _rmw_flat(pm_out, cur, 1)  # expanded bit (known clear)
 
         def wcond(c):
             return c[0] != NONE
 
         def wbody(c):
             cur, sign, n0, virt0 = c
-            p = _read_flat(parent_out, cur)
-            s = _read_flat(parent_slot_out, cur)
-            a = _read_flat(parent_action_out, cur)
+            pmv = _read_flat(pm_out, cur)
+            p = _pm_parent(pmv)
+            s = _pm_slot(pmv)
             is_root_edge = (p == 0) & (s == NONE)
             is_edge = (p != NONE) & ~is_root_edge
             at_root = cur == 0
 
             @pl.when(is_root_edge)
             def _():
+                # parent_action is only needed on the root-edge hop
+                a = _read_flat(parent_action_out, cur)
                 oh = aidx == a
                 ohi = oh.astype(jnp.int32)
                 root_n_out[...] = root_n_out[...] + ohi
@@ -916,12 +970,11 @@ def _backup_descend_kernel(
 
         def alloc(want, nf, cur):
             return _evict_alloc(
-                want, nf, cur, pair, M=M, K=K, aidx=aidx,
+                want, nf, cur, pair, M=M, K=K, SA=SA, aidx=aidx,
                 node_n=node_n_out,
-                child_count=child_count_out, expanded=expanded_out,
-                parent=parent_out, parent_slot=parent_slot_out,
+                child_count=child_count_out, pm=pm_out,
                 parent_action=parent_action_out,
-                edge_child=edge_child_out, root_child=root_child_out,
+                epac=epac_out, root_child=root_child_out,
             )
 
         return alloc
@@ -965,12 +1018,10 @@ def _backup_descend_kernel(
             root_child_out[...] = jnp.where(
                 onehot, slot0, root_child_out[...]
             )
-            _write_flat(parent_out, slot0, 0)
-            _write_flat(parent_slot_out, slot0, NONE)
+            _write_flat(pm_out, slot0, _pm_pack(0, NONE, 0))
             _write_flat(parent_action_out, slot0, a0)
             if recycle:
-                _write_flat(child_count_out, 0,
-                            _read_flat(child_count_out, 0) + 1)
+                _rmw_flat(child_count_out, 0, 1)
                 _write_flat(node_n_out, slot0,
                             jnp.sum(jnp.where(onehot, rn, 0)))
 
@@ -983,12 +1034,12 @@ def _backup_descend_kernel(
 
         def wbody(c):
             cur, nv, leaf_v, created_v, nf = c
-            exp = _read_flat(expanded_out, cur) != 0
+            exp = _pm_expanded(_read_flat(pm_out, cur)) != 0
 
-            ea = edge_action_out[pl.ds(cur, 1), :]
+            pac = epac_out[pl.ds(cur, 1), :]
+            ap1 = pac % SA  # action+1 per lane; 0 = unused slot
             ev = edge_virt_out[pl.ds(cur, 1), :]
             en = edge_n_out[pl.ds(cur, 1), :]
-            ec = edge_child_out[pl.ds(cur, 1), :]
             tot = (en + ev).astype(jnp.float32)
             q = jnp.where(
                 tot > 0,
@@ -1003,11 +1054,13 @@ def _backup_descend_kernel(
                 * jnp.sqrt(npf)
                 / (1.0 + tot)
             )
-            scores = jnp.where(ea != NONE, q + u, _NEG_INF)
+            scores = jnp.where(ap1 != 0, q + u, _NEG_INF)
             slot = _last_argmax(scores, kidx)
             oh = kidx == slot
-            action = jnp.sum(jnp.where(oh, ea, 0))
-            child = jnp.sum(jnp.where(oh, ec, 0))
+            # one packed reduction decodes both child and action
+            pacv = jnp.sum(jnp.where(oh, pac, 0))
+            child = pacv // SA - 1
+            action = pacv - (pacv // SA) * SA - 1
             cnv = jnp.sum(jnp.where(oh, en + ev, 0))
 
             want_create = exp & (child == NONE)
@@ -1021,14 +1074,14 @@ def _backup_descend_kernel(
             def _():
                 # re-read the row: an eviction in alloc() may have
                 # detached a sibling from this very row
-                row = edge_child_out[pl.ds(cur, 1), :]
-                edge_child_out[pl.ds(cur, 1), :] = jnp.where(oh, slot_c, row)
-                _write_flat(parent_out, slot_c, cur)
-                _write_flat(parent_slot_out, slot_c, slot)
+                row = epac_out[pl.ds(cur, 1), :]
+                epac_out[pl.ds(cur, 1), :] = jnp.where(
+                    oh, row % SA + (slot_c + 1) * SA, row
+                )
+                _write_flat(pm_out, slot_c, _pm_pack(cur, slot, 0))
                 _write_flat(parent_action_out, slot_c, action)
                 if recycle:
-                    _write_flat(child_count_out, cur,
-                                _read_flat(child_count_out, cur) + 1)
+                    _rmw_flat(child_count_out, cur, 1)
                     _write_flat(node_n_out, slot_c,
                                 jnp.sum(jnp.where(oh, en, 0)))
 
@@ -1046,8 +1099,7 @@ def _backup_descend_kernel(
 
         if recycle:
             # pin the resolved leaf until its backup releases it
-            _write_flat(node_virt_out, leaf_v,
-                        _read_flat(node_virt_out, leaf_v) + 1)
+            _rmw_flat(node_virt_out, leaf_v, 1)
 
         is_v = vidx == v
         leaf_ref[...] = jnp.where(is_v, leaf_v, leaf_ref[...])
@@ -1076,10 +1128,14 @@ def build_backup_descend_wave(engine, config, *, interpret: bool = False):
     A = engine.num_actions
     Ar = _cdiv(A, LANES)
     Mr = _cdiv(M, LANES)
+    SA = _action_shift(A)
+    # packed-field bit budgets: slot+1 needs 8 bits (K <= 128) and the
+    # (child+1)*SA + action+1 pack must fit in i32
+    assert K <= 128 and (M + 1) * SA + A + 1 < 2 ** 31, (M, K, A, SA)
 
     kernel = partial(
         _backup_descend_kernel,
-        V=V, M=M, K=K, Ar=Ar, Mr=Mr,
+        V=V, M=M, K=K, Ar=Ar, Mr=Mr, SA=SA,
         base=float(config.exploration_base),
         init=float(config.exploration_init),
         ongoing=int(ONGOING),
@@ -1120,21 +1176,21 @@ def build_backup_descend_wave(engine, config, *, interpret: bool = False):
 
         f32 = jnp.float32
         i32 = jnp.int32
+        pm = _pm_pack(tree.parent, tree.parent_slot,
+                      tree.expanded.astype(i32))
+        epac = _epac_pack(tree.edge_child, tree.edge_action, SA)
         out_shapes = (
             jax.ShapeDtypeStruct((B, 1, 4), i32),         # scal
             jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_n
             jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_virt
             jax.ShapeDtypeStruct((B, Ar, LANES), f32),    # root_w
             jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_child
-            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_action
+            jax.ShapeDtypeStruct((B, M, K), i32),         # epac
             jax.ShapeDtypeStruct((B, M, K), f32),         # edge_prior
-            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_child
             jax.ShapeDtypeStruct((B, M, K), i32),         # edge_n
             jax.ShapeDtypeStruct((B, M, K), i32),         # edge_virt
             jax.ShapeDtypeStruct((B, M, K), f32),         # edge_w
-            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # expanded
-            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent
-            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_slot
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # pm
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_action
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # node_n
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # node_virt
@@ -1153,20 +1209,18 @@ def build_backup_descend_wave(engine, config, *, interpret: bool = False):
                 vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
                 vspec(Ar, LANES),
                 vspec(M, K), vspec(M, K), vspec(M, K),
-                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(M, K), vspec(M, K),
                 vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
-                vspec(Mr, LANES),
-                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
+                vspec(Mr, LANES), vspec(Mr, LANES),
             ],
             out_specs=(
                 sspec,
                 vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
                 vspec(Ar, LANES),
                 vspec(M, K), vspec(M, K), vspec(M, K),
-                vspec(M, K), vspec(M, K), vspec(M, K),
+                vspec(M, K), vspec(M, K),
                 vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
-                vspec(Mr, LANES),
-                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
+                vspec(Mr, LANES), vspec(Mr, LANES),
                 ospec2(V), ospec2(V),
             ),
             out_shape=out_shapes,
@@ -1184,37 +1238,36 @@ def build_backup_descend_wave(engine, config, *, interpret: bool = False):
             to_rows(tree.root_virt, padA, Ar),
             to_rows(tree.root_w.astype(f32), padA, Ar),
             to_rows(tree.root_child, padA, Ar, fill=NONE),
-            tree.edge_action, tree.edge_prior.astype(f32), tree.edge_child,
+            epac, tree.edge_prior.astype(f32),
             tree.edge_n, tree.edge_virt, tree.edge_w.astype(f32),
-            to_rows(tree.expanded.astype(i32), padM, Mr),
-            to_rows(tree.parent, padM, Mr),
-            to_rows(tree.parent_slot, padM, Mr),
+            to_rows(pm, padM, Mr),
             to_rows(tree.parent_action, padM, Mr),
             to_rows(tree.node_n, padM, Mr),
             to_rows(tree.node_virt, padM, Mr),
             to_rows(tree.child_count, padM, Mr),
         )
         (scal_o, rn_o, rv_o, rw_o, rc_o,
-         ea_o, ep_o, ec_o, en_o, ev_o, ew_o,
-         exp_o, p_o, ps_o, pa_o, nn_o, nvt_o, cc_o, leaf, created) = outs
+         epac_o, ep_o, en_o, ev_o, ew_o,
+         pm_o, pa_o, nn_o, nvt_o, cc_o, leaf, created) = outs
 
         def from_rows(x, n):
             return x.reshape(B, -1)[:, :n]
 
+        pm_flat = from_rows(pm_o, M)
         tree = tree.replace(
             root_n=from_rows(rn_o, A),
             root_virt=from_rows(rv_o, A),
             root_w=from_rows(rw_o, A),
             root_child=from_rows(rc_o, A),
-            edge_action=ea_o,
+            edge_action=epac_o % SA - 1,
             edge_prior=ep_o,
-            edge_child=ec_o,
+            edge_child=epac_o // SA - 1,
             edge_n=en_o,
             edge_virt=ev_o,
             edge_w=ew_o,
-            expanded=from_rows(exp_o, M).astype(bool),
-            parent=from_rows(p_o, M),
-            parent_slot=from_rows(ps_o, M),
+            expanded=_pm_expanded(pm_flat).astype(bool),
+            parent=_pm_parent(pm_flat),
+            parent_slot=_pm_slot(pm_flat),
             parent_action=from_rows(pa_o, M),
             node_n=from_rows(nn_o, M),
             node_virt=from_rows(nvt_o, M),
@@ -1237,10 +1290,14 @@ def build_descend_wave(engine, config, *, interpret: bool = False):
     A = engine.num_actions
     Ar = _cdiv(A, LANES)
     Mr = _cdiv(M, LANES)
+    SA = _action_shift(A)
+    # packed-field bit budgets: slot+1 needs 8 bits (K <= 128) and the
+    # (child+1)*SA + action+1 pack must fit in i32
+    assert K <= 128 and (M + 1) * SA + A + 1 < 2 ** 31, (M, K, A, SA)
 
     kernel = partial(
         _descend_kernel,
-        V=V, M=M, K=K, Ar=Ar, Mr=Mr,
+        V=V, M=M, K=K, Ar=Ar, Mr=Mr, SA=SA,
         base=float(config.exploration_base),
         init=float(config.exploration_init),
         recycle=bool(config.recycle),
@@ -1276,15 +1333,16 @@ def build_descend_wave(engine, config, *, interpret: bool = False):
 
         f32 = jnp.float32
         i32 = jnp.int32
+        pm = _pm_pack(tree.parent, tree.parent_slot,
+                      tree.expanded.astype(i32))
+        epac = _epac_pack(tree.edge_child, tree.edge_action, SA)
         out_shapes = (
             jax.ShapeDtypeStruct((B, 1, 4), i32),         # scal
             jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_virt
             jax.ShapeDtypeStruct((B, Ar, LANES), i32),    # root_child
             jax.ShapeDtypeStruct((B, M, K), i32),         # edge_virt
-            jax.ShapeDtypeStruct((B, M, K), i32),         # edge_child
-            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # expanded
-            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent
-            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_slot
+            jax.ShapeDtypeStruct((B, M, K), i32),         # epac
+            jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # pm
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # parent_action
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # node_n
             jax.ShapeDtypeStruct((B, Mr, LANES), i32),    # node_virt
@@ -1300,9 +1358,8 @@ def build_descend_wave(engine, config, *, interpret: bool = False):
                 vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
                 vspec(Ar, LANES), vspec(Ar, LANES), vspec(Ar, LANES),
                 vspec(M, K), vspec(M, K), vspec(M, K),
-                vspec(M, K), vspec(M, K), vspec(M, K),
-                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
-                vspec(Mr, LANES),
+                vspec(M, K), vspec(M, K),
+                vspec(Mr, LANES), vspec(Mr, LANES),
                 vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
             ],
             out_specs=(
@@ -1310,8 +1367,7 @@ def build_descend_wave(engine, config, *, interpret: bool = False):
                 vspec(Ar, LANES), vspec(Ar, LANES),
                 vspec(M, K), vspec(M, K),
                 vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
-                vspec(Mr, LANES),
-                vspec(Mr, LANES), vspec(Mr, LANES), vspec(Mr, LANES),
+                vspec(Mr, LANES), vspec(Mr, LANES),
                 ospec2(V), ospec2(V),
             ),
             out_shape=out_shapes,
@@ -1324,30 +1380,30 @@ def build_descend_wave(engine, config, *, interpret: bool = False):
             to_rows(tree.root_w.astype(f32), padA, Ar),
             to_rows(tree.root_virt, padA, Ar),
             to_rows(tree.root_child, padA, Ar, fill=NONE),
-            tree.edge_action, tree.edge_prior.astype(f32), tree.edge_n,
-            tree.edge_w.astype(f32), tree.edge_virt, tree.edge_child,
-            to_rows(tree.expanded.astype(i32), padM, Mr),
-            to_rows(tree.parent, padM, Mr),
-            to_rows(tree.parent_slot, padM, Mr),
+            epac, tree.edge_prior.astype(f32), tree.edge_n,
+            tree.edge_w.astype(f32), tree.edge_virt,
+            to_rows(pm, padM, Mr),
             to_rows(tree.parent_action, padM, Mr),
             to_rows(tree.node_n, padM, Mr),
             to_rows(tree.node_virt, padM, Mr),
             to_rows(tree.child_count, padM, Mr),
         )
-        (scal_o, rv_o, rc_o, ev_o, ec_o, exp_o, p_o, ps_o, pa_o,
+        (scal_o, rv_o, rc_o, ev_o, epac_o, pm_o, pa_o,
          nn_o, nvt_o, cc_o, leaf, created) = outs
 
         def from_rows(x, n):
             return x.reshape(B, -1)[:, :n]
 
+        pm_flat = from_rows(pm_o, M)
         tree = tree.replace(
             root_virt=from_rows(rv_o, A),
             root_child=from_rows(rc_o, A),
             edge_virt=ev_o,
-            edge_child=ec_o,
-            expanded=from_rows(exp_o, M).astype(bool),
-            parent=from_rows(p_o, M),
-            parent_slot=from_rows(ps_o, M),
+            edge_child=epac_o // SA - 1,
+            edge_action=epac_o % SA - 1,
+            expanded=_pm_expanded(pm_flat).astype(bool),
+            parent=_pm_parent(pm_flat),
+            parent_slot=_pm_slot(pm_flat),
             parent_action=from_rows(pa_o, M),
             node_n=from_rows(nn_o, M),
             node_virt=from_rows(nvt_o, M),
