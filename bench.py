@@ -44,16 +44,16 @@ MCTS_K = int(os.environ.get("BENCH_MCTS_K", 32))
 SP_ENABLE = os.environ.get("BENCH_SP", "1") == "1"
 SP_WORKERS = int(os.environ.get("BENCH_SP_WORKERS", 32))
 SP_SIMS = int(os.environ.get("BENCH_SP_SIMS", 10_240))
-SP_MOVES = int(os.environ.get("BENCH_SP_MOVES", 2))
+SP_MOVES = int(os.environ.get("BENCH_SP_MOVES", 4))
 # wave 256 is the measured throughput peak of the sustained e2e curve
-# (40.0k/42.3k/44.9k/56.0k/75.0k/5.5k at waves 16..512, docs/ROADMAP.md).
-# Strength evidence (runs/strength_ab_r4.jsonl + _r5.jsonl): the 5x5
-# 1024-sim A/B was neutral (10-11-43, 0.476), the 6x6 2048-sim A/B
-# leaned negative but inconclusive (9-13-10, 0.409, CI +-0.21 — with
-# 12.5% of the budget in flight, 5x the staleness of the production
-# point), and the round-5 A/B at the TRUE operating point (6x6, 10,240
-# sims, 2.5% in flight, trained checkpoint) is recorded in
-# runs/strength_ab_r5.jsonl — see docs/ROADMAP.md for the reading.
+# (40.0k/42.3k/44.9k/56.0k/75.0k/5.5k at waves 16..512, docs/ROADMAP.md)
+# and is now strength-cleared AT THE TRUE OPERATING POINT: the round-5
+# 6x6 A/B at 10,240 sims (trained checkpoint, 32 paired-opening games,
+# runs/strength_ab_r5.jsonl) scored 14-7-11 for wave 256 vs wave 16 —
+# win_rate 0.667, CI95 [0.454, 0.828], SPRT LLR +1.40 toward "not
+# weaker".  This reverses the 2048-sim leaning-negative read (0.409),
+# as the staleness-fraction argument predicted (12.5% of the budget in
+# flight there vs 2.5% here).
 SP_WAVE = int(os.environ.get("BENCH_SP_WAVE", 256))
 
 
