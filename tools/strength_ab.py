@@ -98,7 +98,74 @@ def main():
     ap.add_argument("--beta", type=float, default=0.05)
     ap.add_argument("--max-games", type=int, default=256,
                     help="sequential-mode total-games cap")
+    ap.add_argument("--subprocess-rounds", action="store_true",
+                    help="run each SPRT round in a FRESH child process "
+                    "(same argv minus --sprt/--subprocess-rounds, one "
+                    "--games round per child, round-indexed --seed).  "
+                    "Mitigates the host-memory growth observed in very "
+                    "long single-process deep-sim pits (130GB RSS OOM "
+                    "after ~70 min; see CLAUDE.md): each child starts "
+                    "clean, results accumulate here via --json-out")
     args = ap.parse_args()
+
+    if args.subprocess_rounds:
+        import json
+        import math
+        import subprocess
+        import tempfile
+
+        upper = math.log((1 - args.beta) / args.alpha)
+        lower = math.log(args.beta / (1 - args.alpha))
+        n_rounds = max(1, -(-args.max_games // args.games))
+        W = L = D = U = 0
+        decision = "inconclusive"
+        t0 = time.perf_counter()
+        out = args.json_out or tempfile.mktemp(suffix=".jsonl")
+        base = [
+            sys.executable, os.path.abspath(__file__),
+            "--preset", args.preset,
+            "--wave-a", str(args.wave_a), "--wave-b", str(args.wave_b),
+            "--games", str(args.games), "--sims", str(args.sims),
+            "--size", str(args.size), "--budget", str(args.budget),
+            "--max-plies", str(args.max_plies), "--json-out", out,
+        ]
+        if args.sims_b is not None:
+            base += ["--sims-b", str(args.sims_b)]
+        if args.model:
+            base += ["--model", args.model]
+        if args.blocks is not None:
+            base += ["--blocks", str(args.blocks)]
+        for rnd in range(n_rounds):
+            cmd = base + ["--seed", str(args.seed + 1000 * rnd)]
+            rc = subprocess.run(cmd, env=os.environ).returncode
+            if rc != 0:
+                print(f"[round {rnd + 1}] child exited {rc}; stopping",
+                      flush=True)
+                break
+            with open(out) as f:
+                last = json.loads(f.readlines()[-1])
+            W += last["wins"]
+            L += last["losses"]
+            D += last["draws"]
+            U += last["unfinished"]
+            n = W + L
+            rate = W / n if n else 0.0
+            lo, hi = wilson_ci(W, n)
+            llr = sprt_llr(W, L, args.p0, args.p1) if n else 0.0
+            print(f"[round {rnd + 1}/{n_rounds}] total {W}-{L}-{D}"
+                  f"{f'-{U}u' if U else ''}  win_rate={rate:.3f} "
+                  f"CI95=[{lo:.3f},{hi:.3f}]  LLR={llr:+.2f} "
+                  f"(accept H1 at {upper:+.2f} / H0 at {lower:+.2f})  "
+                  f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+            if llr >= upper:
+                decision = "H1"
+                break
+            if llr <= lower:
+                decision = "H0"
+                break
+        print(f"subprocess-SPRT total: {W}-{L}-{D}"
+              f"{f'-{U}u' if U else ''}  decision={decision}")
+        return
 
     from tak_tpu.engine.core import get_engine
     from tak_tpu.mcts.search import SearchConfig
