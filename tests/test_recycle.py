@@ -286,3 +286,69 @@ def test_recycle_quality_near_full_pool():
     p_full /= p_full.sum()
     tv = 0.5 * np.abs(p_small - p_full).sum()
     assert tv < 0.25, tv
+
+
+def test_victim_pair_packed_lexicographic():
+    """The packed single-reduction victim scan (pallas_ops._victim_pair)
+    preserves the exact (min node_n, ties -> lowest index) order of the
+    unpacked form, including the no-candidate and clamp edge cases.
+
+    Runs the pure-jnp helper body directly (it is shape-polymorphic
+    jnp code; no Pallas machinery needed on CPU)."""
+    import jax.numpy as jnp
+
+    from tak_tpu.mcts.pallas_ops import LANES, _victim_pair
+
+    Mr, M = 2, 2 * LANES
+
+    def pair(node_n, node_virt, child_count):
+        class _R:  # minimal ref-like: kernel helpers index with [...]
+            def __init__(self, a):
+                self.a = jnp.asarray(a, jnp.int32).reshape(Mr, LANES)
+
+            def __getitem__(self, _):
+                return self.a
+
+        return _victim_pair(
+            M=M, Mr=Mr, node_n=_R(node_n), node_virt=_R(node_virt),
+            child_count=_R(child_count),
+        )
+
+    zeros = [0] * M
+
+    # ties on node_n -> lowest index wins; second candidate is the next
+    nn = zeros[:]
+    nn[5] = 3
+    nn[9] = 3
+    nn[17] = 1
+    cc = [1] * M  # childless only at the three candidates
+    for i in (5, 9, 17):
+        cc[i] = 0
+    v1, h1, v2, h2 = pair(nn, zeros, cc)
+    assert (int(v1), bool(h1)) == (17, True)
+    assert (int(v2), bool(h2)) == (5, True)
+
+    # pinned nodes (node_virt > 0) and the root (index 0) are excluded
+    nv = zeros[:]
+    nv[17] = 1
+    cc2 = [1] * M
+    for i in (0, 5, 17):
+        cc2[i] = 0
+    v1, h1, v2, h2 = pair(nn, nv, cc2)
+    assert (int(v1), bool(h1)) == (5, True)
+    assert not bool(h2)
+
+    # no candidates at all
+    v1, h1, v2, h2 = pair(zeros, zeros, [1] * M)
+    assert not bool(h1) and not bool(h2)
+
+    # clamp: n beyond the pack range still yields valid candidates and
+    # index-order ties among the clamped
+    big = zeros[:]
+    big[3] = 2 ** 29
+    big[7] = 2 ** 29
+    cc3 = [1] * M
+    cc3[3] = cc3[7] = 0
+    v1, h1, v2, h2 = pair(big, zeros, cc3)
+    assert (int(v1), bool(h1)) == (3, True)
+    assert (int(v2), bool(h2)) == (7, True)
