@@ -352,3 +352,34 @@ def test_victim_pair_packed_lexicographic():
     v1, h1, v2, h2 = pair(big, zeros, cc3)
     assert (int(v1), bool(h1)) == (3, True)
     assert (int(v2), bool(h2)) == (7, True)
+
+
+def test_pm_epac_codec_roundtrip():
+    """The packed node-meta (parent, slot, expanded) and packed edge
+    (child, action) codecs round-trip exactly over their full ranges,
+    including NONE sentinels and the size-8x8 action space."""
+    import numpy as np
+
+    from tak_tpu.mcts.pallas_ops import (
+        _action_shift, _epac_pack, _pm_expanded, _pm_pack, _pm_parent,
+        _pm_slot,
+    )
+
+    rng = np.random.default_rng(7)
+    M, K = 2048, 128
+    parent = rng.integers(-1, M, 4096).astype(np.int32)
+    slot = rng.integers(-1, K, 4096).astype(np.int32)
+    exp = rng.integers(0, 2, 4096).astype(np.int32)
+    pm = _pm_pack(parent, slot, exp)
+    assert (_pm_parent(pm) == parent).all()
+    assert (_pm_slot(pm) == slot).all()
+    assert (_pm_expanded(pm) == exp).all()
+
+    for A in (1575, 9036, 65216):  # 5x5 legacy, 6x6, 8x8 channel spaces
+        SA = _action_shift(A)
+        child = rng.integers(-1, M, 4096).astype(np.int32)
+        action = rng.integers(-1, A, 4096).astype(np.int32)
+        epac = _epac_pack(child, action, SA)
+        assert int(epac.max()) < 2 ** 31 - 1
+        assert (epac // SA - 1 == child).all()
+        assert (epac % SA - 1 == action).all()
